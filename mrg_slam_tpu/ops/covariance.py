@@ -1,0 +1,87 @@
+"""Per-point covariance estimation for GICP (small_gicp semantics).
+
+The reference's default registration is SMALL_GICP
+(config/mrg_slam.yaml:100,181 via registrations.cpp:46): each point gets the
+covariance of its k nearest neighbors (k = reg_correspondence_randomness),
+whose eigenvalues are then flattened to (eps, 1, 1) — the "plane"
+regularization that makes GICP behave like a soft point-to-plane matcher.
+
+TPU design: the kNN ride the MXU (ops.knn), the covariance + eigen
+regularization are batched 3x3 ops on the VPU via `jnp.linalg.eigh`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import knn
+from .cloud import PointCloud
+
+
+class GICPCloud(NamedTuple):
+    """A point cloud with per-point regularized covariances."""
+
+    points: jnp.ndarray  # (N, 3) f32
+    mask: jnp.ndarray    # (N,) bool
+    covs: jnp.ndarray    # (N, 3, 3) f32
+
+
+def regularize_covs_plane(covs: jnp.ndarray, eps: float = 1e-3) -> jnp.ndarray:
+    """Replace eigenvalues with (eps, 1, 1), keeping eigenvectors.
+
+    Matches small_gicp's default covariance normalization.
+    """
+    w, v = jnp.linalg.eigh(covs)  # ascending eigenvalues
+    new_w = jnp.ones_like(w).at[..., 0].set(eps)
+    return jnp.einsum("...ij,...j,...kj->...ik", v, new_w, v)
+
+
+def regularize_covs_norm(covs: jnp.ndarray, eps: float = 1e-3) -> jnp.ndarray:
+    """Frobenius-normalized covariance + eps*I (fast_gicp 'NORMALIZED_MIN_EIG'
+    alternative); kept for parity experiments."""
+    scale = jnp.linalg.norm(covs, axis=(-2, -1), keepdims=True)
+    eye = jnp.eye(3, dtype=covs.dtype)
+    return covs / jnp.maximum(scale, 1e-12) + eps * eye
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def estimate_covariances(cloud: PointCloud, k: int = 20,
+                         chunk: int = 512) -> GICPCloud:
+    """kNN covariance per point, plane-regularized.
+
+    Neighborhoods are found within the same cloud (self included, as in
+    small_gicp's estimate_covariances).
+    """
+    d2, idx = knn.knn(cloud.points, cloud.points, cloud.mask, k=k, chunk=chunk)
+    neigh = cloud.points[idx]              # (N, k, 3)
+    nmask = cloud.mask[idx] & jnp.isfinite(d2)  # (N, k)
+    w = nmask.astype(jnp.float32)
+    cnt = jnp.maximum(jnp.sum(w, axis=-1), 1.0)
+    mean = jnp.sum(neigh * w[..., None], axis=-2) / cnt[..., None]
+    diff = (neigh - mean[:, None, :]) * w[..., None]
+    cov = jnp.einsum("nka,nkb->nab", diff, diff) / cnt[..., None, None]
+    cov = regularize_covs_plane(cov)
+    # invalid points get identity so downstream inverses stay finite
+    eye = jnp.eye(3, dtype=cov.dtype)
+    cov = jnp.where(cloud.mask[:, None, None], cov, eye)
+    return GICPCloud(points=cloud.points, mask=cloud.mask, covs=cov)
+
+
+def inv3x3(m: jnp.ndarray, ridge: float = 1e-6) -> jnp.ndarray:
+    """Batched closed-form (adjugate) inverse of symmetric 3x3 matrices."""
+    m = m + ridge * jnp.eye(3, dtype=m.dtype)
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 1], m[..., 1, 2], m[..., 2, 2]
+    A = d * f - e * e
+    B = c * e - b * f
+    C = b * e - c * d
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+    row0 = jnp.stack([A, B, C], axis=-1)
+    row1 = jnp.stack([B, a * f - c * c, b * c - a * e], axis=-1)
+    row2 = jnp.stack([C, b * c - a * e, a * d - b * b], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2) * inv_det[..., None, None]

@@ -1,0 +1,132 @@
+"""Gaussian voxel maps: the TPU replacement for NDT grids and VGICP targets.
+
+pclomp::NormalDistributionsTransform and fast_gicp::FastVGICP both reduce the
+target cloud to per-voxel Gaussians (mean + covariance) and look voxels up by
+quantized coordinate. Here the build is sort + segment reductions (XLA-fast)
+and the lookup is binary search over the sorted unique key array — a handful
+of vectorized gathers instead of pointer chasing, `vmap`/`jit` safe.
+
+DIRECT1/DIRECT7/DIRECT27 neighbor search semantics follow
+pclomp (reg_nn_search_method, registrations.cpp:121-147): a query probes the
+voxel containing the point plus 0/6/26 surrounding voxels.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .cloud import PointCloud
+from .covariance import regularize_covs_plane
+from .voxel import _INVALID_KEY, pack_key, voxel_coords
+
+_OFFSETS = {
+    "DIRECT1": [[0, 0, 0]],
+    "DIRECT7": [[0, 0, 0], [1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+                [0, 0, 1], [0, 0, -1]],
+}
+_OFFSETS["DIRECT27"] = [[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1)
+                        for k in (-1, 0, 1)]
+
+
+class GaussianVoxelMap(NamedTuple):
+    """Sorted voxel-Gaussian table.
+
+    keys:   (C,) int32 sorted packed voxel keys, _INVALID_KEY padding at end
+    means:  (C,3), covs: (C,3,3) regularized, counts: (C,)
+    origin: (3,) quantization origin; resolution is carried statically by the
+    registration params (all lookups pass it in).
+    """
+
+    keys: jnp.ndarray
+    means: jnp.ndarray
+    covs: jnp.ndarray
+    counts: jnp.ndarray
+    origin: jnp.ndarray
+    valid: jnp.ndarray  # (C,) bool
+
+
+@functools.partial(jax.jit, static_argnames=("resolution", "capacity",
+                                             "min_points", "regularize"))
+def build_gaussian_voxel_map(cloud: PointCloud, resolution: float,
+                             capacity: int, min_points: int = 4,
+                             regularize: bool = True) -> GaussianVoxelMap:
+    """Reduce a cloud to per-voxel (mean, covariance) Gaussians.
+
+    `min_points` mirrors NDT's minimum points per cell (cells with fewer
+    points have degenerate covariance and are dropped; pclomp uses 6 by
+    default, VGICP handles small cells via regularization).
+    """
+    pts = cloud.points
+    valid = cloud.mask
+    big = jnp.where(valid[:, None], pts, jnp.inf)
+    origin = jnp.min(big, axis=0)
+    origin = jnp.where(jnp.isfinite(origin), origin, 0.0)
+
+    key = pack_key(voxel_coords(pts, resolution, origin), valid)
+    order = jnp.argsort(key)
+    key_s = key[order]
+    pts_s = pts[order]
+    valid_s = key_s != _INVALID_KEY
+
+    new_seg = jnp.concatenate([jnp.array([True]), key_s[1:] != key_s[:-1]])
+    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+    seg_id = jnp.where(valid_s, seg_id, capacity)
+
+    w = valid_s.astype(jnp.float32)
+    counts = jax.ops.segment_sum(w, seg_id, num_segments=capacity + 1)[:capacity]
+    sums = jax.ops.segment_sum(pts_s * w[:, None], seg_id,
+                               num_segments=capacity + 1)[:capacity]
+    outer = jnp.einsum("na,nb->nab", pts_s, pts_s) * w[:, None, None]
+    sq = jax.ops.segment_sum(outer.reshape(-1, 9), seg_id,
+                             num_segments=capacity + 1)[:capacity].reshape(-1, 3, 3)
+    # first key of each segment
+    seg_keys = jax.ops.segment_max(
+        jnp.where(valid_s, key_s, jnp.int32(-2**31 + 1)), seg_id,
+        num_segments=capacity + 1)[:capacity]
+
+    cnt = jnp.maximum(counts, 1.0)
+    means = sums / cnt[:, None]
+    covs = sq / cnt[:, None, None] - jnp.einsum("na,nb->nab", means, means)
+
+    vmask = counts >= jnp.float32(min_points)
+    if regularize:
+        covs = regularize_covs_plane(covs)
+    eye = jnp.eye(3, dtype=covs.dtype)
+    covs = jnp.where(vmask[:, None, None], covs, eye)
+    means = jnp.where(vmask[:, None], means, 0.0)
+    keys_out = jnp.where(vmask, seg_keys, _INVALID_KEY)
+    # keep table sorted with invalid at the end for searchsorted lookups
+    order2 = jnp.argsort(keys_out)
+    return GaussianVoxelMap(
+        keys=keys_out[order2], means=means[order2], covs=covs[order2],
+        counts=counts[order2], origin=origin, valid=vmask[order2])
+
+
+def lookup(vmap_: GaussianVoxelMap, points: jnp.ndarray, mask: jnp.ndarray,
+           resolution: float, method: str = "DIRECT1"
+           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Find the voxel (or nearest of the DIRECT-k neighborhood) per point.
+
+    Returns (indices (N,), found (N,)). For DIRECT7/27 the probe voxel whose
+    mean is closest to the query point wins, approximating pclomp's
+    multi-voxel association.
+    """
+    coords = voxel_coords(points, resolution, vmap_.origin)
+    offsets = jnp.asarray(_OFFSETS[method], dtype=jnp.int32)
+
+    def probe(off):
+        k = pack_key(coords + off[None, :], mask)
+        idx = jnp.searchsorted(vmap_.keys, k)
+        idx = jnp.clip(idx, 0, vmap_.keys.shape[0] - 1)
+        hit = (vmap_.keys[idx] == k) & (k != _INVALID_KEY)
+        d2 = jnp.sum((vmap_.means[idx] - points) ** 2, axis=-1)
+        return idx, hit, jnp.where(hit, d2, jnp.inf)
+
+    idxs, hits, d2s = jax.vmap(probe)(offsets)  # (P, N)
+    best = jnp.argmin(d2s, axis=0)  # (N,)
+    take = lambda a: jnp.take_along_axis(a, best[None, :], axis=0)[0]
+    return take(idxs).astype(jnp.int32), take(hits)

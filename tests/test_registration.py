@@ -1,0 +1,140 @@
+"""Registration engine tests: recover known transforms on synthetic scenes."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mrg_slam_tpu.config import RegistrationConfig
+from mrg_slam_tpu.ops import registration as reg
+from mrg_slam_tpu.ops.cloud import PointCloud
+from mrg_slam_tpu.ops.covariance import estimate_covariances, inv3x3
+from mrg_slam_tpu.ops.fitness import fitness_score, inlier_fraction
+from mrg_slam_tpu.ops.gaussian_voxel import build_gaussian_voxel_map, lookup
+from mrg_slam_tpu.utils import se3
+
+
+def structured_scene(rng, n=1500):
+    """Points on two walls and a floor — full 6-dof constraint."""
+    n1 = n // 3
+    floor = np.stack([rng.uniform(-10, 10, n1), rng.uniform(-10, 10, n1),
+                      rng.normal(scale=0.02, size=n1)], axis=1)
+    wall1 = np.stack([rng.uniform(-10, 10, n1),
+                      10 + rng.normal(scale=0.02, size=n1),
+                      rng.uniform(0, 4, n1)], axis=1)
+    wall2 = np.stack([-10 + rng.normal(scale=0.02, size=n1),
+                      rng.uniform(-10, 10, n1),
+                      rng.uniform(0, 4, n1)], axis=1)
+    return np.concatenate([floor, wall1, wall2]).astype(np.float32)
+
+
+def true_pose():
+    xi = jnp.asarray(np.array([0.3, -0.2, 0.1, 0.02, 0.03, -0.05],
+                              dtype=np.float32))
+    return se3.pose_exp(xi)
+
+
+@pytest.mark.parametrize("method", ["ICP", "SMALL_GICP", "FAST_VGICP", "NDT"])
+def test_align_recovers_transform(rng, method):
+    pts = structured_scene(rng)
+    gt = true_pose()  # source->target: target = gt * source
+    src_pts = np.asarray(se3.pose_apply(se3.pose_inverse(gt),
+                                        jnp.asarray(pts)))
+    target = PointCloud.from_array(pts, capacity=2048)
+    source = PointCloud.from_array(src_pts, capacity=2048)
+    params = RegistrationConfig(registration_method=method,
+                                reg_transformation_epsilon=1e-4,
+                                reg_maximum_iterations=64,
+                                reg_resolution=2.0,
+                                reg_max_correspondence_distance=2.0)
+    res = reg.align_clouds(params, source, target,
+                           se3.pose_identity())
+    est = np.asarray(res.pose)
+    gt_np = np.asarray(gt)
+    terr = np.linalg.norm(est[:3] - gt_np[:3])
+    rerr = float(se3.rotation_angle(
+        se3.pose_quat(se3.pose_between(jnp.asarray(est), gt))))
+    tol_t = 0.05 if method in ("ICP", "SMALL_GICP") else 0.15
+    tol_r = 0.01 if method in ("ICP", "SMALL_GICP") else 0.03
+    assert terr < tol_t, f"{method}: trans err {terr}"
+    assert rerr < tol_r, f"{method}: rot err {rerr}"
+    assert int(res.num_inliers) > 500
+
+
+def test_align_identity_noop(rng):
+    pts = structured_scene(rng, n=600)
+    pc = PointCloud.from_array(pts, capacity=1024)
+    params = RegistrationConfig(registration_method="SMALL_GICP",
+                                reg_transformation_epsilon=1e-4)
+    res = reg.align_clouds(params, pc, pc, se3.pose_identity())
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.pose)[:3], 0, atol=1e-3)
+
+
+def test_vmap_align_batch(rng):
+    """Batched candidate matching: vmap over stacked source/target pairs."""
+    pts = structured_scene(rng, n=600)
+    gt = true_pose()
+    src_pts = np.asarray(se3.pose_apply(se3.pose_inverse(gt), jnp.asarray(pts)))
+    params = RegistrationConfig(registration_method="SMALL_GICP",
+                                reg_transformation_epsilon=1e-4)
+    tgt = reg.make_target(PointCloud.from_array(pts, capacity=1024), params)
+    src = reg.make_source(PointCloud.from_array(src_pts, capacity=1024), params)
+    # batch of 3 identical problems
+    stack = lambda t: jax.tree.map(lambda x: jnp.stack([x] * 3), t)
+    res = jax.vmap(reg.align, in_axes=(None, 0, 0, 0))(
+        params, stack(src), stack(tgt),
+        jnp.stack([se3.pose_identity()] * 3))
+    assert res.pose.shape == (3, 7)
+    gt_np = np.asarray(gt)
+    for i in range(3):
+        assert np.linalg.norm(np.asarray(res.pose)[i, :3] - gt_np[:3]) < 0.05
+
+
+def test_gaussian_voxel_map_and_lookup(rng):
+    pts = rng.uniform(0, 8, size=(2000, 3)).astype(np.float32)
+    pc = PointCloud.from_array(pts, capacity=2048)
+    vm = build_gaussian_voxel_map(pc, resolution=1.0, capacity=1024,
+                                  min_points=1)
+    n_vox = int(np.sum(np.asarray(vm.valid)))
+    coords = np.floor(pts - pts.min(0)).astype(int)
+    assert n_vox == len(set(map(tuple, coords)))
+    # lookup of original points must hit their own voxel
+    idx, found = lookup(vm, pc.points, pc.mask, 1.0, "DIRECT1")
+    assert bool(np.asarray(found)[:2000].all())
+    means = np.asarray(vm.means)[np.asarray(idx)[:2000]]
+    assert np.abs(means - pts).max() < np.sqrt(3.0)  # same voxel
+
+
+def test_estimate_covariances_plane(rng):
+    # points on a plane -> smallest eigenvalue ~eps, normal ~z
+    pts = np.stack([rng.uniform(-1, 1, 400), rng.uniform(-1, 1, 400),
+                    np.zeros(400)], axis=1).astype(np.float32)
+    pc = PointCloud.from_array(pts, capacity=512)
+    g = estimate_covariances(pc, k=10)
+    covs = np.asarray(g.covs)[:400]
+    w = np.linalg.eigvalsh(covs)
+    np.testing.assert_allclose(w[:, 0], 1e-3, rtol=0.2)
+    np.testing.assert_allclose(w[:, 2], 1.0, rtol=0.2)
+
+
+def test_inv3x3(rng):
+    m = rng.normal(size=(50, 3, 3)).astype(np.float32)
+    m = m @ m.transpose(0, 2, 1) + 0.1 * np.eye(3, dtype=np.float32)
+    inv = np.asarray(inv3x3(jnp.asarray(m), ridge=0.0))
+    np.testing.assert_allclose(inv @ m, np.broadcast_to(np.eye(3), m.shape),
+                               atol=1e-3)
+
+
+def test_fitness_and_inliers(rng):
+    pts = structured_scene(rng, n=600)
+    pc = PointCloud.from_array(pts, capacity=1024)
+    ident = se3.pose_identity()
+    f = float(fitness_score(pc, pc, ident))
+    assert f < 1e-6
+    frac = float(inlier_fraction(pc, pc, ident, 0.1))
+    assert frac > 0.999
+    # shifted cloud has nonzero fitness
+    shift = se3.make_pose(jnp.asarray([0.5, 0.0, 0.0]), se3.quat_identity())
+    f2 = float(fitness_score(pc, pc, shift))
+    assert f2 > 1e-3
