@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from .cloud import PointCloud
 from .covariance import regularize_covs_plane
-from .voxel import _INVALID_KEY, pack_key, voxel_coords
+from .voxel import _INVALID_KEY, pack_key, scramble_key, voxel_coords
 
 _OFFSETS = {
     "DIRECT1": [[0, 0, 0]],
@@ -67,7 +67,7 @@ def build_gaussian_voxel_map(cloud: PointCloud, resolution: float,
     origin = jnp.where(jnp.isfinite(origin), origin, 0.0)
 
     key = pack_key(voxel_coords(pts, resolution, origin), valid)
-    order = jnp.argsort(key)
+    order = jnp.lexsort((key, scramble_key(key)))
     key_s = key[order]
     pts_s = pts[order]
     valid_s = key_s != _INVALID_KEY

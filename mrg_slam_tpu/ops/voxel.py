@@ -28,6 +28,22 @@ _MASK = (1 << _BITS) - 1
 _INVALID_KEY = jnp.int32(2 ** 31 - 1)
 
 
+def scramble_key(key: jnp.ndarray) -> jnp.ndarray:
+    """Pseudo-random int32 mix of a voxel key (invalid stays last-sorting).
+
+    Voxel tables are truncated to a static capacity; sorting segments by a
+    *hashed* key makes any overflow drop a spatially uniform random subset
+    of voxels instead of a contiguous spatial corner (packed keys are
+    monotone in x). Equal keys share a hash, so grouping still works with a
+    (hash, key) lexsort.
+    """
+    h = key * jnp.int32(-1640531527)  # Knuth multiplicative hash, wraps
+    h = h ^ (h >> 15)
+    # keep hashes non-negative so _INVALID_KEY's slot still sorts last
+    h = jnp.abs(h) & jnp.int32(2 ** 30 - 1)
+    return jnp.where(key == _INVALID_KEY, _INVALID_KEY, h)
+
+
 def voxel_coords(points: jnp.ndarray, resolution: float,
                  origin: jnp.ndarray) -> jnp.ndarray:
     """Integer voxel coordinates of points relative to `origin`."""
@@ -68,7 +84,7 @@ def voxel_downsample(cloud: PointCloud, resolution: float,
     origin = jnp.where(jnp.isfinite(origin), origin, 0.0)
 
     key = pack_key(voxel_coords(pts, resolution, origin), valid)
-    order = jnp.argsort(key)
+    order = jnp.lexsort((key, scramble_key(key)))
     key_s = key[order]
     pts_s = pts[order]
     valid_s = key_s != _INVALID_KEY
