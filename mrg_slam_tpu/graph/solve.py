@@ -1,0 +1,403 @@
+"""Manifold Levenberg-Marquardt for the pose graph, dense or matrix-free PCG.
+
+TPU re-design of the reference's g2o backend (graph_slam.cpp:353-425 wraps
+sparse LM + cholmod). Two interchangeable linear solvers behind one jitted
+LM loop:
+
+- "dense":  scatter 6x6/3x3 blocks into a (D, D) Hessian and Cholesky-solve.
+  D = 6*N + 3*P stays modest for keyframe graphs (KITTI 00 ~ 1k keyframes ->
+  D ~ 6k, a 144 MB f32 matrix — MXU fodder). Also yields exact marginals.
+- "cg":     block-Jacobi preconditioned conjugate gradients with matrix-free
+  Hessian-vector products (gather -> per-edge 6x6 mults -> segment_sum
+  scatter). O(E) memory; the building block the distributed multi-host
+  solver shards over the device mesh (parallel/dist_solver.py).
+
+Robust kernels enter as IRLS weights re-evaluated at every linearization.
+Fixed nodes (anchor, graph_database.cpp:84-112) and padding lanes are
+projected out of the update.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import OptimizerConfig
+from ..utils import se3
+from . import edges as E
+from .robust import robust_rho_and_weight
+from .types import PoseGraphData, plane_retract
+
+
+class LinearizedGraph(NamedTuple):
+    chi2: jnp.ndarray
+    # se3 edges
+    r_se3: jnp.ndarray
+    Ji: jnp.ndarray
+    Jj: jnp.ndarray
+    W_se3: jnp.ndarray
+    # priors
+    r_pr: jnp.ndarray
+    Jp: jnp.ndarray
+    W_pr: jnp.ndarray
+    # plane edges
+    r_pl: jnp.ndarray
+    Jpl_pose: jnp.ndarray
+    Jpl_plane: jnp.ndarray
+    W_pl: jnp.ndarray
+
+
+class OptimizeResult(NamedTuple):
+    poses: jnp.ndarray
+    planes: jnp.ndarray
+    chi2_initial: jnp.ndarray
+    chi2_final: jnp.ndarray
+    iterations: jnp.ndarray
+    lambda_final: jnp.ndarray
+
+
+def _weighted(info, r, kernel, delta, mask):
+    """IRLS effective information and robust chi2 contribution."""
+    e = jnp.einsum("ei,eij,ej->e", r, info, r)
+    rho, w = robust_rho_and_weight(e, kernel, delta)
+    m = mask.astype(jnp.float32)
+    W = info * (w * m)[:, None, None]
+    return W, jnp.sum(rho * m)
+
+
+def linearize(g: PoseGraphData) -> LinearizedGraph:
+    r_se3, Ji, Jj = E.se3_edge_terms(g.poses, g.se3)
+    W_se3, c1 = _weighted(g.se3.info, r_se3, g.se3.kernel, g.se3.delta,
+                          g.se3.mask)
+    r_pr, Jp = E.prior_edge_terms(g.poses, g.priors)
+    W_pr, c2 = _weighted(g.priors.info, r_pr, g.priors.kernel, g.priors.delta,
+                         g.priors.mask)
+    r_pl, Jpl_pose, Jpl_plane = E.plane_edge_terms(g.poses, g.planes,
+                                                   g.plane_edges)
+    W_pl, c3 = _weighted(g.plane_edges.info, r_pl, g.plane_edges.kernel,
+                         g.plane_edges.delta, g.plane_edges.mask)
+    return LinearizedGraph(chi2=c1 + c2 + c3, r_se3=r_se3, Ji=Ji, Jj=Jj,
+                           W_se3=W_se3, r_pr=r_pr, Jp=Jp, W_pr=W_pr,
+                           r_pl=r_pl, Jpl_pose=Jpl_pose,
+                           Jpl_plane=Jpl_plane, W_pl=W_pl)
+
+
+def chi2_only(g: PoseGraphData) -> jnp.ndarray:
+    r_se3 = jax.vmap(se3.pose_error)(
+        g.se3.meas, g.poses[g.se3.from_idx], g.poses[g.se3.to_idx])
+    _, c1 = _weighted(g.se3.info, r_se3, g.se3.kernel, g.se3.delta, g.se3.mask)
+    r_pr, _ = E.prior_edge_terms(g.poses, g.priors)
+    _, c2 = _weighted(g.priors.info, r_pr, g.priors.kernel, g.priors.delta,
+                      g.priors.mask)
+    r_pl, _, _ = E.plane_edge_terms(g.poses, g.planes, g.plane_edges)
+    _, c3 = _weighted(g.plane_edges.info, r_pl, g.plane_edges.kernel,
+                      g.plane_edges.delta, g.plane_edges.mask)
+    return c1 + c2 + c3
+
+
+# ---------------------------------------------------------------------------
+# matrix-free machinery
+# ---------------------------------------------------------------------------
+
+def _free_masks(g: PoseGraphData):
+    fn = (g.node_mask & ~g.node_fixed).astype(jnp.float32)[:, None]
+    fp = (g.plane_mask & ~g.plane_fixed).astype(jnp.float32)[:, None]
+    return fn, fp
+
+
+def gradient(g: PoseGraphData, lin: LinearizedGraph):
+    """-(J^T W r) stacked per node pool, free dofs only."""
+    n, p = g.n_nodes, g.n_planes
+    Wr = jnp.einsum("eij,ej->ei", lin.W_se3, lin.r_se3)
+    g_n = jax.ops.segment_sum(jnp.einsum("eai,ea->ei", lin.Ji, Wr),
+                              g.se3.from_idx, num_segments=n)
+    g_n += jax.ops.segment_sum(jnp.einsum("eai,ea->ei", lin.Jj, Wr),
+                               g.se3.to_idx, num_segments=n)
+    Wr_pr = jnp.einsum("eij,ej->ei", lin.W_pr, lin.r_pr)
+    g_n += jax.ops.segment_sum(jnp.einsum("eai,ea->ei", lin.Jp, Wr_pr),
+                               g.priors.node_idx, num_segments=n)
+    Wr_pl = jnp.einsum("eij,ej->ei", lin.W_pl, lin.r_pl)
+    g_n += jax.ops.segment_sum(jnp.einsum("eai,ea->ei", lin.Jpl_pose, Wr_pl),
+                               g.plane_edges.node_idx, num_segments=n)
+    g_p = jax.ops.segment_sum(jnp.einsum("eai,ea->ei", lin.Jpl_plane, Wr_pl),
+                              g.plane_edges.plane_idx, num_segments=p)
+    fn, fp = _free_masks(g)
+    return g_n * fn, g_p * fp
+
+
+def block_diagonal(g: PoseGraphData, lin: LinearizedGraph):
+    """Per-node 6x6 and per-plane 3x3 diagonal blocks of H."""
+    n, p = g.n_nodes, g.n_planes
+    WJi = jnp.einsum("eab,ebj->eaj", lin.W_se3, lin.Ji)
+    WJj = jnp.einsum("eab,ebj->eaj", lin.W_se3, lin.Jj)
+    D_n = jax.ops.segment_sum(jnp.einsum("eai,eaj->eij", lin.Ji, WJi),
+                              g.se3.from_idx, num_segments=n)
+    D_n += jax.ops.segment_sum(jnp.einsum("eai,eaj->eij", lin.Jj, WJj),
+                               g.se3.to_idx, num_segments=n)
+    WJp = jnp.einsum("eab,ebj->eaj", lin.W_pr, lin.Jp)
+    D_n += jax.ops.segment_sum(jnp.einsum("eai,eaj->eij", lin.Jp, WJp),
+                               g.priors.node_idx, num_segments=n)
+    WJpl = jnp.einsum("eab,ebj->eaj", lin.W_pl, lin.Jpl_pose)
+    D_n += jax.ops.segment_sum(jnp.einsum("eai,eaj->eij", lin.Jpl_pose, WJpl),
+                               g.plane_edges.node_idx, num_segments=n)
+    WJpp = jnp.einsum("eab,ebj->eaj", lin.W_pl, lin.Jpl_plane)
+    D_p = jax.ops.segment_sum(jnp.einsum("eai,eaj->eij", lin.Jpl_plane, WJpp),
+                              g.plane_edges.plane_idx, num_segments=p)
+    return D_n, D_p
+
+
+def make_hvp(g: PoseGraphData, lin: LinearizedGraph):
+    """Matrix-free H @ v over (v_nodes (N,6), v_planes (P,3))."""
+    n, p = g.n_nodes, g.n_planes
+    fn, fp = _free_masks(g)
+
+    def hvp(v_n, v_p):
+        v_n = v_n * fn
+        v_p = v_p * fp
+        # SE3 edges
+        u = (jnp.einsum("eai,ei->ea", lin.Ji, v_n[g.se3.from_idx])
+             + jnp.einsum("eai,ei->ea", lin.Jj, v_n[g.se3.to_idx]))
+        Wu = jnp.einsum("eab,eb->ea", lin.W_se3, u)
+        out_n = jax.ops.segment_sum(jnp.einsum("eai,ea->ei", lin.Ji, Wu),
+                                    g.se3.from_idx, num_segments=n)
+        out_n += jax.ops.segment_sum(jnp.einsum("eai,ea->ei", lin.Jj, Wu),
+                                     g.se3.to_idx, num_segments=n)
+        # priors
+        up = jnp.einsum("eai,ei->ea", lin.Jp, v_n[g.priors.node_idx])
+        Wup = jnp.einsum("eab,eb->ea", lin.W_pr, up)
+        out_n += jax.ops.segment_sum(jnp.einsum("eai,ea->ei", lin.Jp, Wup),
+                                     g.priors.node_idx, num_segments=n)
+        # plane edges
+        upl = (jnp.einsum("eai,ei->ea", lin.Jpl_pose,
+                          v_n[g.plane_edges.node_idx])
+               + jnp.einsum("eai,ei->ea", lin.Jpl_plane,
+                            v_p[g.plane_edges.plane_idx]))
+        Wupl = jnp.einsum("eab,eb->ea", lin.W_pl, upl)
+        out_n += jax.ops.segment_sum(
+            jnp.einsum("eai,ea->ei", lin.Jpl_pose, Wupl),
+            g.plane_edges.node_idx, num_segments=n)
+        out_p = jax.ops.segment_sum(
+            jnp.einsum("eai,ea->ei", lin.Jpl_plane, Wupl),
+            g.plane_edges.plane_idx, num_segments=p)
+        return out_n * fn, out_p * fp
+
+    return hvp
+
+
+def _inv_sym(blocks: jnp.ndarray, ridge: float = 1e-8) -> jnp.ndarray:
+    d = blocks.shape[-1]
+    eye = jnp.eye(d, dtype=blocks.dtype)
+    return jnp.linalg.solve(blocks + ridge * eye,
+                            jnp.broadcast_to(eye, blocks.shape))
+
+
+def pcg_solve(hvp, b_n, b_p, M_n, M_p, lam, d_n, d_p, max_iters: int,
+              tol: float):
+    """Block-Jacobi PCG on (H + lam*diag) x = b."""
+
+    def A(v_n, v_p):
+        h_n, h_p = hvp(v_n, v_p)
+        return (h_n + (lam * d_n + 1e-6) * v_n,
+                h_p + (lam * d_p + 1e-6) * v_p)
+
+    def Minv(v_n, v_p):
+        return (jnp.einsum("nij,nj->ni", M_n, v_n),
+                jnp.einsum("nij,nj->ni", M_p, v_p))
+
+    def dot(a, b):
+        return jnp.sum(a[0] * b[0]) + jnp.sum(a[1] * b[1])
+
+    x = (jnp.zeros_like(b_n), jnp.zeros_like(b_p))
+    r = (b_n, b_p)
+    z = Minv(*r)
+    pvec = z
+    rz = dot(r, z)
+    b_norm = jnp.sqrt(dot(r, r)) + 1e-30
+
+    def cond(s):
+        x, r, pvec, rz, i = s
+        return (i < max_iters) & (jnp.sqrt(dot(r, r)) > tol * b_norm)
+
+    def body(s):
+        x, r, pvec, rz, i = s
+        Ap = A(*pvec)
+        alpha = rz / (dot(pvec, Ap) + 1e-30)
+        x = (x[0] + alpha * pvec[0], x[1] + alpha * pvec[1])
+        r = (r[0] - alpha * Ap[0], r[1] - alpha * Ap[1])
+        z = Minv(*r)
+        rz_new = dot(r, z)
+        beta = rz_new / (rz + 1e-30)
+        pvec = (z[0] + beta * pvec[0], z[1] + beta * pvec[1])
+        return x, r, pvec, rz_new, i + 1
+
+    x, r, pvec, rz, iters = jax.lax.while_loop(
+        cond, body, (x, r, pvec, rz, jnp.int32(0)))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# dense path
+# ---------------------------------------------------------------------------
+
+def assemble_dense(g: PoseGraphData, lin: LinearizedGraph):
+    """Full (D, D) Hessian and (D,) gradient; D = 6N + 3P."""
+    n, p = g.n_nodes, g.n_planes
+    D = 6 * n + 3 * p
+    H = jnp.zeros((D, D), jnp.float32)
+
+    def add_block(H, rows, cols, blocks):
+        # rows (E, a), cols (E, b), blocks (E, a, b)
+        return H.at[rows[:, :, None], cols[:, None, :]].add(blocks)
+
+    def idx6(node_idx):
+        return node_idx[:, None] * 6 + jnp.arange(6)[None, :]
+
+    def idxp(plane_idx):
+        return 6 * n + plane_idx[:, None] * 3 + jnp.arange(3)[None, :]
+
+    WJi = jnp.einsum("eab,ebj->eaj", lin.W_se3, lin.Ji)
+    WJj = jnp.einsum("eab,ebj->eaj", lin.W_se3, lin.Jj)
+    fi, ti = idx6(g.se3.from_idx), idx6(g.se3.to_idx)
+    H = add_block(H, fi, fi, jnp.einsum("eai,eaj->eij", lin.Ji, WJi))
+    H = add_block(H, fi, ti, jnp.einsum("eai,eaj->eij", lin.Ji, WJj))
+    H = add_block(H, ti, fi, jnp.einsum("eai,eaj->eij", lin.Jj, WJi))
+    H = add_block(H, ti, ti, jnp.einsum("eai,eaj->eij", lin.Jj, WJj))
+
+    WJp = jnp.einsum("eab,ebj->eaj", lin.W_pr, lin.Jp)
+    ni = idx6(g.priors.node_idx)
+    H = add_block(H, ni, ni, jnp.einsum("eai,eaj->eij", lin.Jp, WJp))
+
+    WJpl = jnp.einsum("eab,ebj->eaj", lin.W_pl, lin.Jpl_pose)
+    WJpp = jnp.einsum("eab,ebj->eaj", lin.W_pl, lin.Jpl_plane)
+    pi, pli = idx6(g.plane_edges.node_idx), idxp(g.plane_edges.plane_idx)
+    H = add_block(H, pi, pi, jnp.einsum("eai,eaj->eij", lin.Jpl_pose, WJpl))
+    H = add_block(H, pi, pli, jnp.einsum("eai,eaj->eij", lin.Jpl_pose, WJpp))
+    H = add_block(H, pli, pi, jnp.einsum("eai,eaj->eij", lin.Jpl_plane, WJpl))
+    H = add_block(H, pli, pli, jnp.einsum("eai,eaj->eij", lin.Jpl_plane, WJpp))
+
+    g_n, g_p = gradient(g, lin)
+    b = -jnp.concatenate([g_n.reshape(-1), g_p.reshape(-1)])
+
+    # project out fixed/invalid dofs: zero rows/cols, unit diagonal
+    fn, fp = _free_masks(g)
+    free = jnp.concatenate([
+        jnp.repeat(fn[:, 0], 6), jnp.repeat(fp[:, 0], 3)])
+    H = H * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
+    b = b * free
+    return H, b, free
+
+
+# ---------------------------------------------------------------------------
+# LM driver
+# ---------------------------------------------------------------------------
+
+def _retract_all(g: PoseGraphData, dx_n, dx_p) -> PoseGraphData:
+    poses = jax.vmap(se3.pose_retract)(g.poses, dx_n)
+    planes = plane_retract(g.planes, dx_p)
+    fn, fp = _free_masks(g)
+    poses = jnp.where(fn > 0, poses, g.poses)
+    planes = jnp.where(fp > 0, planes, g.planes)
+    return g._replace(poses=poses, planes=planes)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def optimize(g: PoseGraphData, cfg: OptimizerConfig) -> OptimizeResult:
+    """Levenberg-Marquardt with chi2-based accept/reject.
+
+    Honors the reference's g2o settings: `g2o_solver_num_iterations` caps the
+    outer loop (graph_slam.cpp:353); chi2 before/after are returned like the
+    reference prints (:368-393). `gn_*` solver strings run with a fixed tiny
+    damping (Gauss-Newton-ish); `lm_*` use adaptive lambda.
+    """
+    is_lm = cfg.g2o_solver_type.startswith("lm")
+    max_outer = cfg.g2o_solver_num_iterations
+
+    chi2_0 = chi2_only(g)
+
+    def solve_delta(g_, lam):
+        lin = linearize(g_)
+        D_n, D_p = block_diagonal(g_, lin)
+        d_n = jnp.diagonal(D_n, axis1=-2, axis2=-1)
+        d_p = jnp.diagonal(D_p, axis1=-2, axis2=-1)
+        if cfg.solver_backend == "dense":
+            H, b, free = assemble_dense(g_, lin)
+            diag = jnp.diagonal(H)
+            # absolute damping floor keeps H positive definite even when a
+            # dof is unconstrained (e.g. a node with only a rotation prior)
+            Hl = H + jnp.diag((lam * diag + 1e-6) * free)
+            x = jax.scipy.linalg.solve(Hl, b, assume_a="pos")
+            n = g_.n_nodes
+            dx_n = x[: 6 * n].reshape(n, 6)
+            dx_p = x[6 * n:].reshape(g_.n_planes, 3)
+        else:
+            g_n, g_p = gradient(g_, lin)
+            fn, fp = _free_masks(g_)
+            eye6 = jnp.eye(6, dtype=jnp.float32)
+            eye3 = jnp.eye(3, dtype=jnp.float32)
+            damped_n = (D_n + (lam * d_n[..., None] + 1e-6) * eye6
+                        + (1 - fn[..., None]) * eye6)
+            damped_p = (D_p + (lam * d_p[..., None] + 1e-6) * eye3
+                        + (1 - fp[..., None]) * eye3)
+            M_n = _inv_sym(damped_n)
+            M_p = _inv_sym(damped_p)
+            hvp = make_hvp(g_, lin)
+            dx_n, dx_p = pcg_solve(hvp, -g_n, -g_p, M_n, M_p, lam, d_n, d_p,
+                                   cfg.cg_max_iterations, cfg.cg_tol)
+        return dx_n, dx_p, lin.chi2
+
+    def cond(s):
+        g_, lam, chi2, it, done = s
+        return (it < max_outer) & ~done
+
+    def body(s):
+        g_, lam, chi2, it, done = s
+        dx_n, dx_p, _ = solve_delta(g_, lam)
+        g_new = _retract_all(g_, dx_n, dx_p)
+        chi2_new = chi2_only(g_new)
+        accept = chi2_new <= chi2
+        if is_lm:
+            lam_next = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-12),
+                                 jnp.minimum(lam * 4.0, 1e10))
+        else:
+            lam_next = lam
+        g_out = g_._replace(
+            poses=jnp.where(accept, g_new.poses, g_.poses),
+            planes=jnp.where(accept, g_new.planes, g_.planes))
+        rel_improve = (chi2 - chi2_new) / jnp.maximum(chi2, 1e-12)
+        done_now = (accept & (rel_improve < cfg.chi2_rel_tol)) | (lam_next > 1e8)
+        chi2_out = jnp.where(accept, chi2_new, chi2)
+        return g_out, lam_next, chi2_out, it + 1, done_now
+
+    lam0 = jnp.float32(cfg.lm_initial_lambda if is_lm else 1e-9)
+    state = (g, lam0, chi2_0, jnp.int32(0), jnp.bool_(False))
+    g_fin, lam_fin, chi2_fin, iters, _ = jax.lax.while_loop(cond, body, state)
+    return OptimizeResult(poses=g_fin.poses, planes=g_fin.planes,
+                          chi2_initial=chi2_0, chi2_final=chi2_fin,
+                          iterations=iters, lambda_final=lam_fin)
+
+
+@functools.partial(jax.jit, static_argnames=("exact",))
+def marginals(g: PoseGraphData, exact: bool = True) -> jnp.ndarray:
+    """Per-node 6x6 covariance blocks, diag of H^-1.
+
+    exact=True inverts the dense Hessian (matches g2o's sparse marginals,
+    graph_slam.cpp:401-425, at dense cost); exact=False returns the
+    block-Jacobi approximation inv(diag blocks) — cheap, conservative for
+    well-conditioned graphs.
+    """
+    lin = linearize(g)
+    fn, _ = _free_masks(g)
+    if exact:
+        H, b, free = assemble_dense(g, lin)
+        Hinv = jnp.linalg.inv(H + 1e-9 * jnp.eye(H.shape[0]))
+        n = g.n_nodes
+        idx = jnp.arange(n)[:, None] * 6 + jnp.arange(6)[None, :]
+        cov = Hinv[idx[:, :, None], idx[:, None, :]]
+    else:
+        D_n, _ = block_diagonal(g, lin)
+        cov = _inv_sym(D_n, ridge=1e-6)
+    # fixed/invalid nodes have zero covariance by definition
+    return cov * fn[:, :, None]

@@ -24,8 +24,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# Small-angle threshold under which Taylor expansions are used.
-_EPS = 1e-6
+# Small-angle threshold under which Taylor expansions are used. Chosen for
+# float32: below 1e-2 rad the trig forms lose precision to cancellation
+# (1 - cos(theta) rounds to 0 for theta < ~1e-3), while the dropped Taylor
+# terms are O(theta^4) ~ 1e-10 — both branches are accurate at the switch.
+_EPS = 1e-2
 
 
 # ---------------------------------------------------------------------------
@@ -132,13 +135,20 @@ def skew(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
-    """Rotation vector -> rotation matrix (Rodrigues, Taylor-safe)."""
+    """Rotation vector -> rotation matrix (Rodrigues).
+
+    Uses the double-`where` pattern so that autodiff through the small-angle
+    branch never sees the 0/0 of the trig form (the unselected branch is
+    evaluated at theta=1, keeping all tangents finite).
+    """
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2 + 1e-32)
-    small = theta < _EPS
+    small = theta2 < _EPS ** 2
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
     # sin(t)/t and (1-cos(t))/t^2 with Taylor fallback
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / (theta2 + 1e-32))
+    b = jnp.where(small, 0.5 - theta2 / 24.0,
+                  (1.0 - jnp.cos(theta)) / theta2_safe)
     W = skew(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + a[..., None, None] * W + b[..., None, None] * (W @ W)
@@ -155,25 +165,30 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
 
 
 def quat_log(q: jnp.ndarray) -> jnp.ndarray:
-    """Unit quaternion -> rotation vector (2 * log of quaternion)."""
+    """Unit quaternion -> rotation vector (2 * log), autodiff-safe at 0."""
     q = jnp.where(q[..., 0:1] < 0, -q, q)  # w >= 0, theta in [0, pi]
     w = jnp.clip(q[..., 0], -1.0, 1.0)
-    vnorm = jnp.linalg.norm(q[..., 1:4], axis=-1)
-    theta = 2.0 * jnp.arctan2(vnorm, w)
-    # theta / sin(theta/2) with Taylor at 0
-    small = vnorm < _EPS
-    scale = jnp.where(small, 2.0 / jnp.maximum(w, 0.5) , theta / jnp.maximum(vnorm, 1e-32))
-    scale = jnp.where(small, 2.0 + 2.0 * vnorm * vnorm / (3.0 * jnp.maximum(w, 0.5) ** 3), scale)
+    v2 = jnp.sum(q[..., 1:4] * q[..., 1:4], axis=-1)
+    small = v2 < _EPS ** 2
+    v2_safe = jnp.where(small, 1.0, v2)
+    vnorm = jnp.sqrt(v2_safe)
+    main = 2.0 * jnp.arctan2(vnorm, w) / vnorm
+    w_safe = jnp.maximum(w, 0.5)
+    taylor = 2.0 / w_safe * (1.0 - v2 / (3.0 * w_safe * w_safe))
+    scale = jnp.where(small, taylor, main)
     return q[..., 1:4] * scale[..., None]
 
 
 def so3_left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
     """SO(3) left Jacobian J_l(w) (a.k.a. V matrix in SE(3) exp)."""
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2 + 1e-32)
-    small = theta < _EPS
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / (theta2 + 1e-32))
-    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (theta2 * theta + 1e-32))
+    small = theta2 < _EPS ** 2
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
+    b = jnp.where(small, 0.5 - theta2 / 24.0,
+                  (1.0 - jnp.cos(theta)) / theta2_safe)
+    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0,
+                  (theta - jnp.sin(theta)) / (theta2_safe * theta))
     W = skew(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + b[..., None, None] * W + c[..., None, None] * (W @ W)
@@ -181,18 +196,16 @@ def so3_left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
 
 def so3_left_jacobian_inv(w: jnp.ndarray) -> jnp.ndarray:
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2 + 1e-32)
-    small = theta < _EPS
-    half = theta / 2.0
-    cot = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0,
-                    (1.0 - half / jnp.tan(half + 1e-32) * jnp.where(small, 0.0, 1.0)) / (theta2 + 1e-32))
-    # robust: coefficient k s.t. Jl_inv = I - W/2 + k W^2
+    small = theta2 < _EPS ** 2
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
+    # coefficient k s.t. Jl_inv = I - W/2 + k W^2
     k = jnp.where(
         small,
         1.0 / 12.0 + theta2 / 720.0,
-        (1.0 / (theta2 + 1e-32)) * (1.0 - (theta * jnp.sin(theta)) / (2.0 * (1.0 - jnp.cos(theta)) + 1e-32)),
+        (1.0 - (theta * jnp.sin(theta)) /
+         (2.0 * (1.0 - jnp.cos(theta)))) / theta2_safe,
     )
-    del cot
     W = skew(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye - 0.5 * W + k[..., None, None] * (W @ W)

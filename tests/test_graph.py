@@ -1,0 +1,152 @@
+"""Pose-graph optimizer tests: loop correction, priors, planes, robust."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mrg_slam_tpu.config import OptimizerConfig
+from mrg_slam_tpu.graph.builder import GraphSLAM
+from mrg_slam_tpu.utils import se3
+
+
+def info66(t_std, r_std):
+    return np.diag([1 / t_std**2] * 3 + [1 / r_std**2] * 3).astype(np.float32)
+
+
+def make_noisy_loop(rng, n=12, backend="dense", drift=0.05):
+    """Square loop with odometry drift + one loop-closure edge."""
+    cfg = OptimizerConfig(solver_backend=backend, g2o_solver_num_iterations=64)
+    gs = GraphSLAM(cfg, capacity_nodes=64, capacity_edges=128)
+    # ground truth: walk around a circle
+    gt = []
+    for i in range(n):
+        th = 2 * np.pi * i / n
+        gt.append(np.asarray(se3.pose_exp(jnp.asarray(
+            [10 * np.cos(th), 10 * np.sin(th), 0, 0, 0, th],
+            dtype=jnp.float32))))
+    gt = np.stack(gt)
+    # noisy odometry chain
+    est = [gt[0]]
+    ids = [gs.add_se3_node(gt[0], fixed=True)]
+    for i in range(1, n):
+        rel = np.asarray(se3.pose_between(jnp.asarray(gt[i - 1]),
+                                          jnp.asarray(gt[i])))
+        noise = np.asarray(se3.pose_exp(jnp.asarray(
+            rng.normal(scale=drift, size=6).astype(np.float32))))
+        rel_noisy = np.asarray(se3.pose_compose(jnp.asarray(rel),
+                                                jnp.asarray(noise)))
+        est.append(np.asarray(se3.pose_compose(jnp.asarray(est[-1]),
+                                               jnp.asarray(rel_noisy))))
+        ids.append(gs.add_se3_node(est[-1]))
+        gs.add_se3_edge(ids[i - 1], ids[i], rel_noisy, info66(0.1, 0.05))
+    # loop closure: last node to first with true relative pose
+    rel_loop = np.asarray(se3.pose_between(jnp.asarray(gt[-1]),
+                                           jnp.asarray(gt[0])))
+    gs.add_se3_edge(ids[-1], ids[0], rel_loop, info66(0.01, 0.01))
+    return gs, gt, np.stack(est)
+
+
+@pytest.mark.parametrize("backend", ["dense", "cg"])
+def test_loop_closure_reduces_error(rng, backend):
+    gs, gt, est0 = make_noisy_loop(rng, backend=backend)
+    err_before = np.linalg.norm(gs.poses[:, :3] - gt[:, :3], axis=1).mean()
+    chi2 = gs.optimize()
+    err_after = np.linalg.norm(gs.poses[:, :3] - gt[:, :3], axis=1).mean()
+    assert gs.chi2_initial > gs.chi2_final
+    assert err_after < err_before * 0.5, (err_before, err_after)
+    # the fixed first node must not move
+    np.testing.assert_allclose(gs.poses[0], gt[0], atol=1e-5)
+
+
+def test_xyz_prior_pins_node(rng):
+    gs = GraphSLAM(OptimizerConfig(solver_backend="dense"),
+                   capacity_nodes=16, capacity_edges=16)
+    a = gs.add_se3_node(se3.pose_identity())
+    b = gs.add_se3_node(np.array([1.2, 0, 0, 1, 0, 0, 0], np.float32))
+    gs.add_se3_edge(a, b, np.array([1, 0, 0, 1, 0, 0, 0], np.float32),
+                    info66(0.1, 0.1))
+    gs.add_se3_prior_xyz_edge(a, [0, 0, 0], np.eye(3) * 1e4)
+    gs.add_se3_prior_xyz_edge(b, [1, 0.5, 0], np.eye(3) * 1e4)
+    gs.optimize()
+    np.testing.assert_allclose(gs.poses[0, :3], [0, 0, 0], atol=1e-2)
+    np.testing.assert_allclose(gs.poses[1, :3], [1, 0.5, 0], atol=1e-2)
+
+
+def test_quat_prior(rng):
+    gs = GraphSLAM(OptimizerConfig(solver_backend="dense"),
+                   capacity_nodes=16, capacity_edges=16)
+    a = gs.add_se3_node(se3.pose_identity())
+    target_q = np.asarray(se3.rpy_to_quat(jnp.float32(0.0), jnp.float32(0.0),
+                                          jnp.float32(0.3)))
+    gs.add_se3_prior_quat_edge(a, target_q, np.eye(3) * 100)
+    gs.optimize()
+    got = gs.poses[0, 3:7]
+    assert abs(abs(np.dot(got, target_q)) - 1) < 1e-3
+
+
+def test_vec_prior_gravity(rng):
+    """Gravity alignment: tilted node pulled upright."""
+    gs = GraphSLAM(OptimizerConfig(solver_backend="dense"),
+                   capacity_nodes=16, capacity_edges=16)
+    tilted = np.asarray(se3.pose_exp(jnp.asarray([0, 0, 0, 0.2, 0.1, 0.0],
+                                                 dtype=jnp.float32)))
+    a = gs.add_se3_node(tilted)
+    # measured acceleration in body frame says +z is straight up
+    gs.add_se3_prior_vec_edge(a, [0, 0, 1], [0, 0, 1], np.eye(3) * 100)
+    gs.optimize()
+    R = np.asarray(se3.quat_to_mat(jnp.asarray(gs.poses[0, 3:7])))
+    np.testing.assert_allclose(R.T @ np.array([0, 0, 1.0]), [0, 0, 1],
+                               atol=1e-2)
+
+
+def test_plane_edge_flattens(rng):
+    """Nodes with z-offsets constrained to a common floor plane z=0."""
+    gs = GraphSLAM(OptimizerConfig(solver_backend="dense"),
+                   capacity_nodes=16, capacity_edges=16)
+    plane = gs.add_plane_node([0, 0, 1, 0], fixed=True)
+    ids = []
+    for i in range(4):
+        p = np.array([i * 1.0, 0, 0.3 * (i % 2), 1, 0, 0, 0], np.float32)
+        ids.append(gs.add_se3_node(p, fixed=(i == 0)))
+        if i:
+            rel = np.array([1, 0, 0, 1, 0, 0, 0], np.float32)
+            gs.add_se3_edge(ids[i - 1], ids[i], rel, info66(0.5, 0.5))
+        # sensor sees the floor as z=0 locally
+        gs.add_se3_plane_edge(ids[i], plane, [0, 0, 1, 0], np.eye(3) * 100)
+    gs.optimize()
+    np.testing.assert_allclose(gs.poses[:4, 2], 0.0, atol=5e-3)
+
+
+def test_robust_kernel_rejects_outlier(rng):
+    """A wildly wrong loop edge with Huber vs without."""
+    def build(kernel):
+        gs, gt, _ = make_noisy_loop(rng, n=10, drift=0.02)
+        # bogus edge pulling node 5 two meters sideways
+        bogus = np.array([2.0, 2.0, 0, 1, 0, 0, 0], np.float32)
+        gs.add_se3_edge(0, 5, bogus, info66(0.05, 0.05), kernel=kernel,
+                        kernel_delta=1.0)
+        gs.optimize()
+        return np.linalg.norm(gs.poses[:10, :3] - gt[:, :3], axis=1).mean()
+    err_huber = build("Huber")
+    err_none = build("NONE")
+    assert err_huber < err_none
+
+
+def test_marginals_shape_and_sanity(rng):
+    gs, gt, _ = make_noisy_loop(rng, n=8)
+    gs.optimize()
+    cov = gs.compute_marginals(exact=True)
+    assert cov.shape == (8, 6, 6)
+    # fixed node has (near) zero covariance; free nodes positive diag
+    assert np.abs(cov[0]).max() < 1e-4
+    assert (np.diagonal(cov[1:], axis1=1, axis2=2) > 0).all()
+
+
+def test_chi2_zero_on_perfect_graph(rng):
+    gs = GraphSLAM(OptimizerConfig(), capacity_nodes=16, capacity_edges=16)
+    a = gs.add_se3_node(se3.pose_identity(), fixed=True)
+    b = gs.add_se3_node(np.array([1, 0, 0, 1, 0, 0, 0], np.float32))
+    gs.add_se3_edge(a, b, np.array([1, 0, 0, 1, 0, 0, 0], np.float32),
+                    info66(0.1, 0.1))
+    chi2 = gs.optimize()
+    assert chi2 < 1e-8
