@@ -1,0 +1,276 @@
+"""GraphDatabase: keyframe/edge store, ingest queues, uuid-dedup merge.
+
+TPU re-design of src/mrg_slam/graph_database.cpp: owns all keyframes and
+edges (uuid-keyed), four ingest queues (odometry keyframes, static
+keyframes, received remote graphs, loaded graphs), the anchor-node
+handling, and loop insertion. The g2o graph is the GraphSLAM builder; ROS
+mutexes disappear because flushing happens on one host thread per robot.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..graph.builder import GraphSLAM
+from ..ops.cloud import PointCloud
+from ..utils import se3
+from .information_matrix import InformationMatrixCalculator
+from .keyframe import (EDGE_ANCHOR, EDGE_LOOP, EDGE_ODOM, Edge, KeyFrame,
+                       new_uuid)
+
+
+@dataclasses.dataclass
+class Loop:
+    key1: KeyFrame            # the new keyframe
+    key2: KeyFrame            # the matched candidate
+    relative_pose: np.ndarray  # (7,) T_new^-1 T_candidate
+
+
+class GraphDatabase:
+    def __init__(self, cfg: SlamConfig, graph: Optional[GraphSLAM] = None):
+        self.cfg = cfg
+        self.own_name = cfg.own_name
+        self.slam_uuid = new_uuid()  # per-run graph instance id
+        self.graph = graph or GraphSLAM(
+            cfg.optimizer, capacity_nodes=cfg.capacity_keyframes,
+            capacity_edges=cfg.capacity_edges)
+        self.inf_calculator = InformationMatrixCalculator(cfg.inf_matrix)
+
+        self.keyframes: List[KeyFrame] = []       # flushed, loop-checked
+        self.new_keyframes: List[KeyFrame] = []   # flushed, pending loop check
+        self.edges: List[Edge] = []
+        self.uuid_keyframe_map: Dict[str, KeyFrame] = {}
+        self.edge_uuids: set[str] = set()
+        self.edge_pairs: set[Tuple[str, str]] = set()  # (from,to) uuid pairs
+
+        self.keyframe_queue: List[KeyFrame] = []
+        self.static_keyframe_queue: List[KeyFrame] = []
+        self.graph_queue: List[object] = []   # received GraphMsg
+        self.loaded_graph_queue: List[object] = []
+
+        self.prev_robot_keyframe: Optional[KeyFrame] = None
+        self.anchor_kf: Optional[KeyFrame] = None
+        self.anchor_edge: Optional[Edge] = None
+        self.odom_keyframe_counter = 0
+        # latest keyframe per other robot: name -> (uuid, odom pose)
+        self.others_last_kf: Dict[str, Tuple[str, np.ndarray]] = {}
+
+    # ------------------------------------------------------------------
+    # ingest
+    # ------------------------------------------------------------------
+    def add_odom_keyframe(self, stamp: float, odom: np.ndarray,
+                          accum_distance: float,
+                          cloud: PointCloud) -> KeyFrame:
+        """graph_database.cpp:35: assign uuid + counter, queue for flush."""
+        kf = KeyFrame(robot_name=self.own_name, stamp=stamp,
+                      odom=np.asarray(odom, np.float32),
+                      accum_distance=accum_distance, cloud=cloud,
+                      slam_uuid=self.slam_uuid,
+                      odom_counter=self.odom_keyframe_counter)
+        self.odom_keyframe_counter += 1
+        self.keyframe_queue.append(kf)
+        return kf
+
+    def add_static_keyframes(self, keyframes: Sequence[KeyFrame]) -> None:
+        self.static_keyframe_queue.extend(keyframes)
+
+    def add_graph_msg(self, msg) -> None:
+        self.graph_queue.append(msg)
+
+    # ------------------------------------------------------------------
+    # flush: odometry keyframes
+    # ------------------------------------------------------------------
+    def flush_keyframe_queue(self, odom2map: np.ndarray) -> bool:
+        """graph_database.cpp:50: add SE3 node per keyframe + odometry edge
+        to the previous keyframe; anchor handling on the very first one."""
+        if not self.keyframe_queue:
+            return False
+        n = min(len(self.keyframe_queue), self.cfg.max_keyframes_per_update)
+        batch, self.keyframe_queue = (self.keyframe_queue[:n],
+                                      self.keyframe_queue[n:])
+        for kf in batch:
+            est = np.asarray(se3.pose_compose(jnp.asarray(odom2map),
+                                              jnp.asarray(kf.odom)),
+                             np.float32)
+            kf.node_id = self.graph.add_se3_node(est)
+            self.uuid_keyframe_map[kf.uuid] = kf
+            self.new_keyframes.append(kf)
+
+            if self.prev_robot_keyframe is None:
+                self._handle_first_keyframe(kf, est)
+                self.prev_robot_keyframe = kf
+                continue
+
+            prev = self.prev_robot_keyframe
+            rel = np.asarray(se3.pose_between(jnp.asarray(kf.odom),
+                                              jnp.asarray(prev.odom)),
+                             np.float32)
+            info = self.inf_calculator.calc_information_matrix(
+                kf.cloud, prev.cloud, rel)
+            edge = Edge(type=EDGE_ODOM, from_uuid=kf.uuid, to_uuid=prev.uuid,
+                        relative_pose=rel, information=info,
+                        from_readable=kf.readable_id,
+                        to_readable=prev.readable_id)
+            edge.edge_id = self.graph.add_se3_edge(
+                kf.node_id, prev.node_id, rel, info,
+                kernel=self.cfg.odometry_edge_robust_kernel,
+                kernel_delta=self.cfg.odometry_edge_robust_kernel_size)
+            self._register_edge(edge)
+            kf.prev_edge = edge
+            prev.next_edge = edge
+            self.prev_robot_keyframe = kf
+        return True
+
+    def _handle_first_keyframe(self, kf: KeyFrame, est: np.ndarray) -> None:
+        kf.first_keyframe = True
+        if not self.cfg.use_custom_inf_matrix_first_node:
+            return
+        std = np.asarray(self.cfg.custom_inf_matrix_first_node_stddev)
+        info = np.diag(1.0 / (std * std)).astype(np.float32)
+        anchor_id = self.graph.add_se3_node(se3.pose_identity(), fixed=True)
+        self.anchor_kf = KeyFrame(
+            robot_name=self.own_name, stamp=0.0,
+            odom=np.asarray(se3.pose_identity()), accum_distance=-1.0,
+            cloud=PointCloud.empty(1), slam_uuid=self.slam_uuid,
+            odom_counter=-1)
+        self.anchor_kf.node_id = anchor_id
+        self.uuid_keyframe_map[self.anchor_kf.uuid] = self.anchor_kf
+        edge = Edge(type=EDGE_ANCHOR, from_uuid=self.anchor_kf.uuid,
+                    to_uuid=kf.uuid, relative_pose=est, information=info,
+                    from_readable="anchor", to_readable=kf.readable_id)
+        edge.edge_id = self.graph.add_se3_edge(anchor_id, kf.node_id, est,
+                                               info)
+        self.anchor_edge = edge
+        self._register_edge(edge)
+
+    def _register_edge(self, edge: Edge) -> None:
+        self.edges.append(edge)
+        self.edge_uuids.add(edge.uuid)
+        self.edge_pairs.add((edge.from_uuid, edge.to_uuid))
+
+    # ------------------------------------------------------------------
+    # flush: static keyframes (map-server provided, fixed nodes)
+    # ------------------------------------------------------------------
+    def flush_static_keyframe_queue(self) -> bool:
+        """graph_database.cpp:199: fixed nodes, no odometry chain."""
+        if not self.static_keyframe_queue:
+            return False
+        batch, self.static_keyframe_queue = self.static_keyframe_queue, []
+        for kf in batch:
+            kf.static_keyframe = True
+            kf.node_id = self.graph.add_se3_node(kf.odom, fixed=True)
+            self.uuid_keyframe_map[kf.uuid] = kf
+            self.new_keyframes.append(kf)
+        return True
+
+    # ------------------------------------------------------------------
+    # flush: received remote graphs (uuid dedup merge)
+    # ------------------------------------------------------------------
+    def flush_graph_queue(self, loop_manager=None) -> bool:
+        """graph_database.cpp:237: merge other robots' delta graphs.
+
+        New remote keyframes become nodes at the sender's estimates; edges
+        re-link by uuid; remote loop edges are registered with the
+        LoopManager so local loop search is rate-limited consistently.
+        """
+        if not self.graph_queue:
+            return False
+        msgs, self.graph_queue = self.graph_queue, []
+        for msg in msgs:
+            for kmsg in msg.keyframes:
+                if kmsg.uuid in self.uuid_keyframe_map:
+                    continue
+                kf = KeyFrame(
+                    robot_name=kmsg.robot_name, stamp=kmsg.stamp,
+                    odom=np.asarray(kmsg.estimate, np.float32),
+                    accum_distance=kmsg.accum_distance, cloud=kmsg.cloud,
+                    uuid=kmsg.uuid, slam_uuid=kmsg.slam_uuid,
+                    odom_counter=kmsg.odom_counter,
+                    first_keyframe=kmsg.first_keyframe,
+                    static_keyframe=kmsg.static_keyframe)
+                kf.node_id = self.graph.add_se3_node(kf.odom)
+                self.uuid_keyframe_map[kf.uuid] = kf
+                self.new_keyframes.append(kf)
+            for emsg in msg.edges:
+                if emsg.uuid in self.edge_uuids:
+                    continue
+                kf_from = self.uuid_keyframe_map.get(emsg.from_uuid)
+                kf_to = self.uuid_keyframe_map.get(emsg.to_uuid)
+                if kf_from is None or kf_to is None:
+                    continue  # counterpart not merged yet; next delta
+                if emsg.type == EDGE_ANCHOR:
+                    # remote anchors are skipped: each robot anchors itself
+                    # (the remote anchor keyframe is not transmitted)
+                    continue
+                edge = Edge(type=emsg.type, from_uuid=emsg.from_uuid,
+                            to_uuid=emsg.to_uuid,
+                            relative_pose=np.asarray(emsg.relative_pose,
+                                                     np.float32),
+                            information=np.asarray(emsg.information,
+                                                   np.float32).reshape(6, 6),
+                            uuid=emsg.uuid,
+                            from_readable=kf_from.readable_id,
+                            to_readable=kf_to.readable_id)
+                kernel = (self.cfg.loop.loop_closure_edge_robust_kernel
+                          if emsg.type == EDGE_LOOP else "NONE")
+                delta = self.cfg.loop.loop_closure_edge_robust_kernel_size
+                edge.edge_id = self.graph.add_se3_edge(
+                    kf_from.node_id, kf_to.node_id, edge.relative_pose,
+                    edge.information, kernel=kernel, kernel_delta=delta)
+                self._register_edge(edge)
+                if edge.type == EDGE_ODOM:
+                    kf_from.prev_edge = edge
+                    kf_to.next_edge = edge
+                if edge.type == EDGE_LOOP and loop_manager is not None:
+                    loop_manager.add_loop(
+                        Loop(key1=kf_from, key2=kf_to,
+                             relative_pose=edge.relative_pose))
+            self.others_last_kf[msg.robot_name] = (
+                msg.latest_keyframe_uuid, np.asarray(msg.latest_keyframe_odom))
+        return True
+
+    # ------------------------------------------------------------------
+    # loops
+    # ------------------------------------------------------------------
+    def insert_loops(self, loops: Sequence[Loop]) -> None:
+        """graph_database.cpp:571: loop edges with robust kernel; new
+        keyframes graduate into the main keyframe list."""
+        for loop in loops:
+            info = self.inf_calculator.calc_information_matrix(
+                loop.key1.cloud, loop.key2.cloud, loop.relative_pose)
+            edge = Edge(type=EDGE_LOOP, from_uuid=loop.key1.uuid,
+                        to_uuid=loop.key2.uuid,
+                        relative_pose=np.asarray(loop.relative_pose,
+                                                 np.float32),
+                        information=info,
+                        from_readable=loop.key1.readable_id,
+                        to_readable=loop.key2.readable_id)
+            edge.edge_id = self.graph.add_se3_edge(
+                loop.key1.node_id, loop.key2.node_id, edge.relative_pose,
+                info, kernel=self.cfg.loop.loop_closure_edge_robust_kernel,
+                kernel_delta=self.cfg.loop.loop_closure_edge_robust_kernel_size)
+            self._register_edge(edge)
+        self.keyframes.extend(self.new_keyframes)
+        self.new_keyframes.clear()
+
+    # ------------------------------------------------------------------
+    def edge_exists(self, a: KeyFrame, b: KeyFrame) -> bool:
+        return ((a.uuid, b.uuid) in self.edge_pairs
+                or (b.uuid, a.uuid) in self.edge_pairs)
+
+    def own_keyframes(self) -> List[KeyFrame]:
+        return [k for k in self.keyframes + self.new_keyframes
+                if k.robot_name == self.own_name and k.odom_counter >= 0]
+
+    def optimize(self, num_iterations: Optional[int] = None) -> float:
+        return self.graph.optimize(num_iterations)
+
+    def keyframe_estimates(self) -> np.ndarray:
+        """(K, 7) optimized poses of all flushed keyframes, stable order."""
+        ids = [k.node_id for k in self.keyframes + self.new_keyframes]
+        return self.graph.poses[ids] if ids else np.zeros((0, 7), np.float32)
