@@ -68,7 +68,14 @@ def _weighted(info, r, kernel, delta, mask):
     return W, jnp.sum(rho * m)
 
 
-def linearize(g: PoseGraphData) -> LinearizedGraph:
+def _psum_if(x, axis_name):
+    return jax.lax.psum(x, axis_name) if axis_name else x
+
+
+def linearize(g: PoseGraphData, axis_name=None) -> LinearizedGraph:
+    """When `axis_name` is set, the edge tables of `g` are shard_map shards
+    over that mesh axis and the scalar chi2 is psum-reduced (the per-edge
+    terms stay local to their shard)."""
     r_se3, Ji, Jj = E.se3_edge_terms(g.poses, g.se3)
     W_se3, c1 = _weighted(g.se3.info, r_se3, g.se3.kernel, g.se3.delta,
                           g.se3.mask)
@@ -79,13 +86,14 @@ def linearize(g: PoseGraphData) -> LinearizedGraph:
                                                    g.plane_edges)
     W_pl, c3 = _weighted(g.plane_edges.info, r_pl, g.plane_edges.kernel,
                          g.plane_edges.delta, g.plane_edges.mask)
-    return LinearizedGraph(chi2=c1 + c2 + c3, r_se3=r_se3, Ji=Ji, Jj=Jj,
+    return LinearizedGraph(chi2=_psum_if(c1 + c2 + c3, axis_name),
+                           r_se3=r_se3, Ji=Ji, Jj=Jj,
                            W_se3=W_se3, r_pr=r_pr, Jp=Jp, W_pr=W_pr,
                            r_pl=r_pl, Jpl_pose=Jpl_pose,
                            Jpl_plane=Jpl_plane, W_pl=W_pl)
 
 
-def chi2_only(g: PoseGraphData) -> jnp.ndarray:
+def chi2_only(g: PoseGraphData, axis_name=None) -> jnp.ndarray:
     r_se3 = jax.vmap(se3.pose_error)(
         g.se3.meas, g.poses[g.se3.from_idx], g.poses[g.se3.to_idx])
     _, c1 = _weighted(g.se3.info, r_se3, g.se3.kernel, g.se3.delta, g.se3.mask)
@@ -95,7 +103,7 @@ def chi2_only(g: PoseGraphData) -> jnp.ndarray:
     r_pl, _, _ = E.plane_edge_terms(g.poses, g.planes, g.plane_edges)
     _, c3 = _weighted(g.plane_edges.info, r_pl, g.plane_edges.kernel,
                       g.plane_edges.delta, g.plane_edges.mask)
-    return c1 + c2 + c3
+    return _psum_if(c1 + c2 + c3, axis_name)
 
 
 # ---------------------------------------------------------------------------
@@ -108,8 +116,9 @@ def _free_masks(g: PoseGraphData):
     return fn, fp
 
 
-def gradient(g: PoseGraphData, lin: LinearizedGraph):
-    """-(J^T W r) stacked per node pool, free dofs only."""
+def gradient(g: PoseGraphData, lin: LinearizedGraph, axis_name=None):
+    """-(J^T W r) stacked per node pool, free dofs only; psum over the
+    edge-shard axis when distributed."""
     n, p = g.n_nodes, g.n_planes
     Wr = jnp.einsum("eij,ej->ei", lin.W_se3, lin.r_se3)
     g_n = jax.ops.segment_sum(jnp.einsum("eai,ea->ei", lin.Ji, Wr),
@@ -125,10 +134,10 @@ def gradient(g: PoseGraphData, lin: LinearizedGraph):
     g_p = jax.ops.segment_sum(jnp.einsum("eai,ea->ei", lin.Jpl_plane, Wr_pl),
                               g.plane_edges.plane_idx, num_segments=p)
     fn, fp = _free_masks(g)
-    return g_n * fn, g_p * fp
+    return _psum_if(g_n, axis_name) * fn, _psum_if(g_p, axis_name) * fp
 
 
-def block_diagonal(g: PoseGraphData, lin: LinearizedGraph):
+def block_diagonal(g: PoseGraphData, lin: LinearizedGraph, axis_name=None):
     """Per-node 6x6 and per-plane 3x3 diagonal blocks of H."""
     n, p = g.n_nodes, g.n_planes
     WJi = jnp.einsum("eab,ebj->eaj", lin.W_se3, lin.Ji)
@@ -146,11 +155,15 @@ def block_diagonal(g: PoseGraphData, lin: LinearizedGraph):
     WJpp = jnp.einsum("eab,ebj->eaj", lin.W_pl, lin.Jpl_plane)
     D_p = jax.ops.segment_sum(jnp.einsum("eai,eaj->eij", lin.Jpl_plane, WJpp),
                               g.plane_edges.plane_idx, num_segments=p)
-    return D_n, D_p
+    return _psum_if(D_n, axis_name), _psum_if(D_p, axis_name)
 
 
-def make_hvp(g: PoseGraphData, lin: LinearizedGraph):
-    """Matrix-free H @ v over (v_nodes (N,6), v_planes (P,3))."""
+def make_hvp(g: PoseGraphData, lin: LinearizedGraph, axis_name=None):
+    """Matrix-free H @ v over (v_nodes (N,6), v_planes (P,3)).
+
+    Distributed: v is replicated across devices, each shard contributes its
+    edges' products, one psum yields the replicated result — the ICI
+    collective at the heart of the multi-host Gauss-Newton."""
     n, p = g.n_nodes, g.n_planes
     fn, fp = _free_masks(g)
 
@@ -182,7 +195,7 @@ def make_hvp(g: PoseGraphData, lin: LinearizedGraph):
         out_p = jax.ops.segment_sum(
             jnp.einsum("eai,ea->ei", lin.Jpl_plane, Wupl),
             g.plane_edges.plane_idx, num_segments=p)
-        return out_n * fn, out_p * fp
+        return _psum_if(out_n, axis_name) * fn, _psum_if(out_p, axis_name) * fp
 
     return hvp
 

@@ -82,6 +82,12 @@ class MrgSlam:
             cfg.map_cloud_resolution, cfg.map_cloud_min_points_per_voxel,
             cfg.map_cloud_distance_far_thresh)
         self.status = SlamStatus(robot_name=cfg.own_name)
+        # sensor processors (flushed each tick, :819-824)
+        from .processors import (FloorCoeffsProcessor, GpsProcessor,
+                                 ImuProcessor)
+        self.gps_processor = GpsProcessor(cfg.gps)
+        self.imu_processor = ImuProcessor(cfg.imu)
+        self.floor_processor = FloorCoeffsProcessor(cfg.floor_coeffs)
 
         x, y, z, yaw, pitch, roll = cfg.init_pose
         q = np.asarray(se3.rpy_to_quat(jnp.float32(roll), jnp.float32(pitch),
@@ -169,6 +175,10 @@ class MrgSlam:
         flushed = self.db.flush_keyframe_queue(self.trans_odom2map)
         flushed |= self.db.flush_static_keyframe_queue()
         flushed |= self.db.flush_graph_queue(self.loop_detector.loop_manager)
+        own_kfs = self.db.own_keyframes()
+        flushed |= self.floor_processor.flush(self.db, own_kfs)
+        flushed |= self.gps_processor.flush(self.db, own_kfs)
+        flushed |= self.imu_processor.flush(self.db, own_kfs)
         if not flushed and not self.db.new_keyframes:
             return None
 

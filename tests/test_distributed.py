@@ -1,0 +1,72 @@
+"""Distributed solver tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import pytest
+
+from mrg_slam_tpu.config import OptimizerConfig
+from mrg_slam_tpu.graph import solve
+from mrg_slam_tpu.graph.builder import GraphSLAM
+from mrg_slam_tpu.parallel import dist_solver
+from mrg_slam_tpu.utils import se3
+import jax.numpy as jnp
+
+
+def build_ring_graph(rng, n=24, drift=0.04):
+    gs = GraphSLAM(OptimizerConfig(solver_backend="cg"),
+                   capacity_nodes=64, capacity_edges=64)
+    info = np.diag([100.0] * 3 + [400.0] * 3).astype(np.float32)
+    gt, est, ids = [], [], []
+    for i in range(n):
+        th = 2 * np.pi * i / n
+        gt.append(np.asarray(se3.pose_exp(jnp.asarray(
+            [8 * np.cos(th), 8 * np.sin(th), 0, 0, 0, th],
+            dtype=jnp.float32))))
+    est.append(gt[0])
+    ids.append(gs.add_se3_node(gt[0], fixed=True))
+    for i in range(1, n):
+        rel = np.asarray(se3.pose_between(jnp.asarray(gt[i - 1]),
+                                          jnp.asarray(gt[i])))
+        noise = np.asarray(se3.pose_exp(jnp.asarray(
+            rng.normal(scale=drift, size=6).astype(np.float32))))
+        rel_n = np.asarray(se3.pose_compose(jnp.asarray(rel),
+                                            jnp.asarray(noise)))
+        est.append(np.asarray(se3.pose_compose(jnp.asarray(est[-1]),
+                                               jnp.asarray(rel_n))))
+        ids.append(gs.add_se3_node(est[-1]))
+        gs.add_se3_edge(ids[i - 1], ids[i], rel_n, info)
+    rel_loop = np.asarray(se3.pose_between(jnp.asarray(gt[-1]),
+                                           jnp.asarray(gt[0])))
+    gs.add_se3_edge(ids[-1], ids[0], rel_loop, info * 10)
+    return gs, np.stack(gt)
+
+
+def test_distributed_matches_single_device(rng):
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    gs, gt = build_ring_graph(rng)
+    g = gs.snapshot()
+    cfg = OptimizerConfig(solver_backend="cg", g2o_solver_num_iterations=48)
+
+    res_single = solve.optimize(g, cfg)
+    mesh = dist_solver.make_mesh(8)
+    res_dist = dist_solver.optimize_distributed(g, cfg, mesh)
+
+    assert float(res_dist.chi2_final) < float(res_dist.chi2_initial) * 0.05
+    # both backends land on equivalent solutions
+    n = gs.num_nodes
+    p1 = np.asarray(res_single.poses)[:n]
+    p2 = np.asarray(res_dist.poses)[:n]
+    np.testing.assert_allclose(p1[:, :3], p2[:, :3], atol=2e-2)
+    err = np.linalg.norm(p2[:, :3] - gt[:, :3], axis=1).mean()
+    assert err < 1.0, err
+
+
+def test_sharded_inputs_path(rng):
+    gs, gt = build_ring_graph(rng, n=16)
+    g = gs.snapshot()
+    mesh = dist_solver.make_mesh(8)
+    g_sharded = dist_solver.shard_graph_inputs(g, mesh)
+    cfg = OptimizerConfig(solver_backend="cg", g2o_solver_num_iterations=32)
+    res = dist_solver.optimize_distributed(g_sharded, cfg, mesh)
+    assert float(res.chi2_final) <= float(res.chi2_initial)
+    assert np.isfinite(np.asarray(res.poses)).all()
