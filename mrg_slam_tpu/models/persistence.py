@@ -1,0 +1,182 @@
+"""Graph persistence: save_graph / load_graph (checkpoint & resume).
+
+Mirrors the reference's directory layout (save_graph_service,
+mrg_slam_component.cpp:930-1045; KeyFrame::save keyframe.cpp:53-110;
+Edge::save edge.cpp:53-120; GraphSLAM::save graph_slam.cpp:428):
+
+    <dir>/keyframes/NNNNNN/data.txt + cloud.pcd
+    <dir>/edges/NNNNNN/data.txt
+    <dir>/graph.g2o              (VERTEX_SE3:QUAT / EDGE_SE3:QUAT interop)
+    <dir>/special_nodes.csv      (anchor bookkeeping)
+    <dir>/network_stats.txt, timing_stats.txt
+
+Loading merges keyframes/edges BY UUID into a running database
+(load_graph/flush_loaded_graph, graph_database.cpp:393-568), enabling
+multi-session mapping: previously saved graphs join as additional chains.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+from ..io.pcd import load_pcd, save_pcd
+from ..ops.cloud import PointCloud
+from ..parallel.messages import EdgeMsg, GraphMsg, KeyFrameMsg
+from .backend import MrgSlam
+from .keyframe import EDGE_ANCHOR, Edge, KeyFrame
+
+
+def _fmt_pose(p: np.ndarray) -> str:
+    return " ".join(f"{v:.9f}" for v in np.asarray(p).reshape(-1))
+
+
+def save_graph(slam: MrgSlam, directory: str) -> int:
+    """Persist the full graph; returns the number of keyframes written."""
+    d = Path(directory)
+    (d / "keyframes").mkdir(parents=True, exist_ok=True)
+    (d / "edges").mkdir(parents=True, exist_ok=True)
+    db = slam.db
+
+    kfs = [k for k in db.keyframes + db.new_keyframes
+           if k.node_id is not None]
+    for i, kf in enumerate(kfs):
+        kdir = d / "keyframes" / f"{i:06d}"
+        kdir.mkdir(exist_ok=True)
+        est = kf.estimate(db.graph)
+        with open(kdir / "data.txt", "w") as f:
+            f.write(f"robot_name {kf.robot_name}\n"
+                    f"uuid_str {kf.uuid}\n"
+                    f"slam_uuid_str {kf.slam_uuid}\n"
+                    f"stamp {kf.stamp:.9f}\n"
+                    f"odom_counter {kf.odom_counter}\n"
+                    f"first_keyframe {int(kf.first_keyframe)}\n"
+                    f"static_keyframe {int(kf.static_keyframe)}\n"
+                    f"accum_distance {kf.accum_distance:.9f}\n"
+                    f"estimate {_fmt_pose(est)}\n"
+                    f"odom {_fmt_pose(kf.odom)}\n")
+        save_pcd(kdir / "cloud.pcd", kf.cloud.to_numpy())
+
+    for i, e in enumerate(db.edges):
+        edir = d / "edges" / f"{i:06d}"
+        edir.mkdir(exist_ok=True)
+        with open(edir / "data.txt", "w") as f:
+            f.write(f"type {e.type}\n"
+                    f"uuid_str {e.uuid}\n"
+                    f"from_uuid_str {e.from_uuid}\n"
+                    f"to_uuid_str {e.to_uuid}\n"
+                    f"relative_pose {_fmt_pose(e.relative_pose)}\n"
+                    f"information {_fmt_pose(e.information)}\n")
+
+    _save_g2o(db, d / "graph.g2o")
+
+    with open(d / "special_nodes.csv", "w") as f:
+        anchor_node = (db.anchor_kf.node_id if db.anchor_kf else -1)
+        anchor_edge = (db.anchor_edge.edge_id
+                       if db.anchor_edge is not None else -1)
+        f.write(f"anchor_node,{anchor_node}\n")
+        f.write(f"anchor_edge,{anchor_edge}\n")
+        f.write("floor_node,-1\n")
+
+    zero_utm = slam.gps_processor.zero_utm
+    if zero_utm is not None:
+        np.savetxt(d / "zero_utm.txt", zero_utm[None])
+
+    with open(d / "network_stats.txt", "w") as f:
+        f.write(f"sent_graph_bytes {sum(slam.sent_graph_bytes)}\n"
+                f"received_graph_bytes {sum(slam.received_graph_bytes)}\n")
+    with open(d / "timing_stats.txt", "w") as f:
+        lds = slam.loop_detector.loop_detection_times
+        f.write(f"num_ticks {len(slam.tick_stats)}\n")
+        f.write(f"loop_detection_count {len(lds)}\n")
+        if lds:
+            f.write(f"loop_detection_avg_us {np.mean(lds):.1f}\n")
+        if slam.tick_stats:
+            f.write("optimization_avg_us "
+                    f"{np.mean([t.optimization_us for t in slam.tick_stats]):.1f}\n")
+    return len(kfs)
+
+
+def _save_g2o(db, path) -> None:
+    """g2o text format for interop with the reference's tooling
+    (g2o_to_pose_file.py reads VERTEX_SE3:QUAT lines)."""
+    with open(path, "w") as f:
+        kfs = [k for k in ([db.anchor_kf] if db.anchor_kf else [])
+               + db.keyframes + db.new_keyframes if k and k.node_id is not None]
+        for kf in sorted(kfs, key=lambda k: k.node_id):
+            p = kf.estimate(db.graph)
+            f.write(f"VERTEX_SE3:QUAT {kf.node_id} "
+                    f"{p[0]:.9f} {p[1]:.9f} {p[2]:.9f} "
+                    f"{p[4]:.9f} {p[5]:.9f} {p[6]:.9f} {p[3]:.9f}\n")
+            if kf is db.anchor_kf:
+                f.write(f"FIX {kf.node_id}\n")
+        uuid_to_node = {k.uuid: k.node_id for k in kfs}
+        for e in db.edges:
+            a = uuid_to_node.get(e.from_uuid)
+            b = uuid_to_node.get(e.to_uuid)
+            if a is None or b is None:
+                continue
+            p = e.relative_pose
+            info = np.asarray(e.information)
+            upper = info[np.triu_indices(6)]
+            f.write(f"EDGE_SE3:QUAT {a} {b} "
+                    f"{p[0]:.9f} {p[1]:.9f} {p[2]:.9f} "
+                    f"{p[4]:.9f} {p[5]:.9f} {p[6]:.9f} {p[3]:.9f} "
+                    + " ".join(f"{v:.9f}" for v in upper) + "\n")
+
+
+def load_graph(slam: MrgSlam, directory: str,
+               cloud_capacity: Optional[int] = None) -> int:
+    """Read a saved graph and queue it for uuid-dedup merge on the next
+    optimization tick (load_graph_service -> flush_loaded_graph semantics).
+
+    Returns the number of keyframes queued.
+    """
+    d = Path(directory)
+    cap = cloud_capacity or slam.cfg.capacity_keyframe_points
+    kmsgs: List[KeyFrameMsg] = []
+    for kdir in sorted((d / "keyframes").iterdir()):
+        meta = {}
+        for line in (kdir / "data.txt").read_text().splitlines():
+            key, _, val = line.partition(" ")
+            meta[key] = val
+        pts = load_pcd(kdir / "cloud.pcd")
+        kmsgs.append(KeyFrameMsg(
+            robot_name=meta["robot_name"], uuid=meta["uuid_str"],
+            slam_uuid=meta["slam_uuid_str"], stamp=float(meta["stamp"]),
+            odom_counter=int(meta["odom_counter"]),
+            first_keyframe=bool(int(meta["first_keyframe"])),
+            static_keyframe=bool(int(meta["static_keyframe"])),
+            accum_distance=float(meta["accum_distance"]),
+            estimate=np.fromstring(meta["estimate"], sep=" ",
+                                   dtype=np.float32),
+            cloud=PointCloud.from_array(pts, capacity=cap)))
+    emsgs: List[EdgeMsg] = []
+    edges_dir = d / "edges"
+    if edges_dir.exists():
+        for edir in sorted(edges_dir.iterdir()):
+            meta = {}
+            for line in (edir / "data.txt").read_text().splitlines():
+                key, _, val = line.partition(" ")
+                meta[key] = val
+            if meta["type"] == EDGE_ANCHOR:
+                continue
+            emsgs.append(EdgeMsg(
+                type=meta["type"], uuid=meta["uuid_str"],
+                from_uuid=meta["from_uuid_str"],
+                to_uuid=meta["to_uuid_str"],
+                relative_pose=np.fromstring(meta["relative_pose"], sep=" ",
+                                            dtype=np.float32),
+                information=np.fromstring(meta["information"], sep=" ",
+                                          dtype=np.float32).reshape(6, 6)))
+    if kmsgs:
+        latest = max(kmsgs, key=lambda k: k.stamp)
+        slam.db.add_graph_msg(GraphMsg(
+            robot_name=kmsgs[0].robot_name,
+            latest_keyframe_uuid=latest.uuid,
+            latest_keyframe_odom=latest.estimate,
+            keyframes=kmsgs, edges=emsgs))
+    return len(kmsgs)

@@ -1,0 +1,201 @@
+"""Dataset replay harness — the no-ROS equivalent of python_scripts/.
+
+Drives one or more complete SLAM stacks (prefilter -> scan-matching
+odometry -> backend) over a frame source, deterministically: like the
+reference's kitti/nebula processors gate playback on SlamStatus
+(kitti_multirobot_processor.py:95-99), the replay loop runs the
+optimization tick synchronously at its configured cadence, so runs are
+bit-reproducible.
+
+Frame sources: KittiSequence (io/kitti.py), SyntheticWorld, or any
+iterable of (stamp, (N,3) numpy scan).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import EngineConfig
+from ..models.backend import MrgSlam
+from ..models.floor_detection import FloorDetection
+from ..models.odometry import ScanMatchingOdometry
+from ..ops.cloud import PointCloud
+from ..ops.prefilter import prefilter
+from ..utils.metrics import ate_rmse, rpe_rmse
+from ..utils.tum import save_tum
+
+
+class Robot:
+    """One robot's full stack: prefilter + odometry + floor + backend."""
+
+    def __init__(self, cfg: EngineConfig):
+        self.cfg = cfg
+        self.odometry = ScanMatchingOdometry(cfg.odometry)
+        self.slam = MrgSlam(cfg.slam)
+        self.floor = (FloorDetection(cfg.floor)
+                      if cfg.floor.enable_floor_detection else None)
+        self.est_poses: List[np.ndarray] = []
+        self.stamps: List[float] = []
+
+    def step(self, stamp: float, scan: np.ndarray):
+        pc = PointCloud.from_array(
+            scan, capacity=self.cfg.prefilter.capacity_raw_points)
+        filtered = prefilter(pc, self.cfg.prefilter)
+        if self.floor is not None:
+            fc = self.floor.detect(filtered, stamp)
+            if fc is not None:
+                self.slam.floor_processor.add_coeffs(fc)
+        out = self.odometry.step(filtered, stamp)
+        broadcast = self.slam.process_scan(stamp, out.pose, filtered)
+        self.est_poses.append(self.slam.map_pose(out.pose))
+        self.stamps.append(stamp)
+        return out, broadcast
+
+
+@dataclasses.dataclass
+class ReplayResult:
+    trajectory: np.ndarray          # (N,7) per-frame map-frame poses
+    stamps: np.ndarray
+    keyframe_trajectory: np.ndarray  # (K,7) optimized keyframes
+    ate: Optional[float] = None
+    rpe: Optional[float] = None
+    wall_s: float = 0.0
+    frames_per_s: float = 0.0
+    num_loops: int = 0
+
+
+def replay(robot: Robot,
+           frames: Iterable[Tuple[float, np.ndarray]],
+           tick_every: int = 30,
+           gt_xyz: Optional[np.ndarray] = None,
+           tum_path: Optional[str] = None,
+           progress: Optional[Callable[[int], None]] = None) -> ReplayResult:
+    """Single-robot replay. `tick_every` frames ~ graph_update_interval."""
+    t0 = time.perf_counter()
+    n = 0
+    for i, (stamp, scan) in enumerate(frames):
+        robot.step(stamp, scan)
+        if (i + 1) % tick_every == 0:
+            robot.slam.optimization_tick(now=stamp)
+        if progress:
+            progress(i)
+        n += 1
+    robot.slam.optimization_tick(now=robot.stamps[-1] if robot.stamps else 0)
+    wall = time.perf_counter() - t0
+
+    traj = np.stack(robot.est_poses) if robot.est_poses else np.zeros((0, 7))
+    result = ReplayResult(
+        trajectory=traj, stamps=np.asarray(robot.stamps),
+        keyframe_trajectory=robot.slam.trajectory(),
+        wall_s=wall, frames_per_s=n / max(wall, 1e-9),
+        num_loops=sum(1 for e in robot.slam.db.edges if e.type == "loop"))
+    if gt_xyz is not None and len(traj):
+        m = min(len(traj), len(gt_xyz))
+        result.ate = ate_rmse(traj[:m, :3], gt_xyz[:m])
+        result.rpe = rpe_rmse(traj[:m, :3], gt_xyz[:m])
+    if tum_path:
+        save_tum(tum_path, robot.stamps, traj)
+    return result
+
+
+def replay_multirobot(robots: Dict[str, Robot],
+                      frame_sources: Dict[str, List[Tuple[float, np.ndarray]]],
+                      tick_every: int = 30) -> Dict[str, ReplayResult]:
+    """In-process multi-robot replay with full graph exchange.
+
+    Each robot advances one frame per round (lock-step), broadcasts odom
+    every frame and its slam pose at tick cadence; publish-graph requests
+    are served synchronously (the DDS service call becomes a function
+    call — parallel/channel.py provides socket transport for real
+    multi-host runs).
+    """
+    t0 = time.perf_counter()
+    names = list(robots)
+    steps = max(len(v) for v in frame_sources.values())
+
+    def request_fn_for(requester: str):
+        def request(peer_name: str, req):
+            return robots[peer_name].slam.handle_publish_graph(req)
+        return request
+
+    for i in range(steps):
+        for name in names:
+            frames = frame_sources[name]
+            if i >= len(frames):
+                continue
+            stamp, scan = frames[i]
+            _, bc = robots[name].step(stamp, scan)
+            for other in names:
+                if other != name and bc is not None:
+                    robots[other].slam.on_odom_broadcast(bc)
+        if (i + 1) % tick_every == 0:
+            for name in names:
+                robots[name].slam.optimization_tick(now=i * 0.1)
+                sp = robots[name].slam.slam_pose_broadcast(i * 0.1)
+                if sp is None:
+                    continue
+                for other in names:
+                    if other != name:
+                        robots[other].slam.on_slam_pose_broadcast(
+                            sp, now=i * 0.1,
+                            request_fn=request_fn_for(other))
+    wall = time.perf_counter() - t0
+    out: Dict[str, ReplayResult] = {}
+    for name in names:
+        robots[name].slam.optimization_tick(now=steps * 0.1)
+        r = robots[name]
+        traj = np.stack(r.est_poses) if r.est_poses else np.zeros((0, 7))
+        out[name] = ReplayResult(
+            trajectory=traj, stamps=np.asarray(r.stamps),
+            keyframe_trajectory=r.slam.trajectory(), wall_s=wall,
+            frames_per_s=len(r.stamps) / max(wall, 1e-9),
+            num_loops=sum(1 for e in r.slam.db.edges if e.type == "loop"))
+    return out
+
+
+def run_synthetic_demo(n_frames: int = 60, verbose: bool = True
+                       ) -> ReplayResult:
+    """Small end-to-end demo on the synthetic world (used by the project
+    verify skill and as a smoke test)."""
+    import dataclasses as dc
+
+    from ..config import (LoopClosureConfig, OptimizerConfig,
+                          PrefilterConfig, RegistrationConfig, SlamConfig,
+                          ScanMatchingOdometryConfig)
+    from ..io.synthetic import SyntheticWorld, circle_trajectory
+
+    reg = RegistrationConfig(reg_transformation_epsilon=1e-3,
+                             reg_maximum_iterations=32,
+                             reg_correspondence_randomness=10)
+    cfg = EngineConfig(
+        prefilter=PrefilterConfig(downsample_resolution=0.4,
+                                  capacity_raw_points=8192,
+                                  capacity_filtered_points=1024,
+                                  outlier_removal_method="NONE"),
+        odometry=ScanMatchingOdometryConfig(keyframe_delta_translation=2.0,
+                                            registration=reg),
+        slam=SlamConfig(own_name="demo", multi_robot_names=("demo",),
+                        keyframe_delta_trans=2.0, capacity_keyframes=128,
+                        capacity_edges=512, capacity_keyframe_points=1024,
+                        registration=reg,
+                        optimizer=OptimizerConfig(solver_backend="dense",
+                                                  g2o_solver_num_iterations=64),
+                        loop=dc.replace(LoopClosureConfig(),
+                                        capacity_candidates=4),
+                        robot_remove_points_radius=0.0))
+    world = SyntheticWorld.build(seed=11, extent=30.0, n_ground=25000,
+                                 max_points_per_scan=8192, noise=0.02)
+    traj = circle_trajectory(n_frames, radius=12.0, laps=1.1)
+    frames = [(i * 0.1, world.scan(p, seed=i)) for i, p in enumerate(traj)]
+    robot = Robot(cfg)
+    res = replay(robot, frames, tick_every=15, gt_xyz=traj[:, :3])
+    if verbose:
+        print(f"synthetic demo: {n_frames} frames, "
+              f"{len(robot.slam.db.keyframes) + len(robot.slam.db.new_keyframes)}"
+              f" keyframes, {res.num_loops} loops, ATE {res.ate:.3f} m, "
+              f"{res.frames_per_s:.1f} frames/s")
+    return res
