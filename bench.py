@@ -59,12 +59,27 @@ def main():
     traj = circle_trajectory(N_FRAMES, radius=15.0, laps=0.35)
     scans = [world.scan(p, seed=i) for i, p in enumerate(traj)]
 
+    # Stage-wise jits: the remote TPU compile service handles the three
+    # moderate programs far better than one mega-fused scan pipeline, and
+    # intermediate results stay on device either way.
     @jax.jit
-    def frame_step(raw_pts, raw_mask, target, prev_rel):
-        cloud = prefilter(PointCloud(raw_pts, raw_mask), pre_cfg)
-        source = reg.make_source(cloud, params)
+    def stage_prefilter(raw_pts, raw_mask):
+        return prefilter(PointCloud(raw_pts, raw_mask), pre_cfg)
+
+    @jax.jit
+    def stage_source(cloud):
+        return reg.make_source(cloud, params)
+
+    @jax.jit
+    def stage_align(source, target, prev_rel):
         res = reg.align(params, source, target, prev_rel)
-        return res.pose, res.num_inliers, cloud
+        return res.pose, res.num_inliers
+
+    def frame_step(raw_pts, raw_mask, target, prev_rel):
+        cloud = stage_prefilter(raw_pts, raw_mask)
+        source = stage_source(cloud)
+        pose, n_in = stage_align(source, target, prev_rel)
+        return pose, n_in, cloud
 
     def to_dev(scan):
         pts = np.full((RAW, 3), 1.0e6, np.float32)

@@ -128,6 +128,18 @@ class GraphDatabase:
 
     def _handle_first_keyframe(self, kf: KeyFrame, est: np.ndarray) -> None:
         kf.first_keyframe = True
+        if self.cfg.enable_fill_first_cloud:
+            # synthesize ground under the first keyframe
+            # (graph_database.cpp:114-129 -> src/pcl/fill_ground_plane.cpp)
+            from ..ops import ground_fill
+            if self.cfg.fill_first_cloud_simple:
+                kf.cloud = ground_fill.fill_ground_plane_simple(
+                    kf.cloud, est, self.cfg.fill_first_cloud_radius,
+                    self.cfg.map_cloud_resolution)
+            else:
+                kf.cloud = ground_fill.fill_ground_plane_ransac(
+                    kf.cloud, self.cfg.fill_first_cloud_radius,
+                    self.cfg.map_cloud_resolution)
         if not self.cfg.use_custom_inf_matrix_first_node:
             return
         std = np.asarray(self.cfg.custom_inf_matrix_first_node_stddev)

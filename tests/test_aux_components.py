@@ -1,0 +1,103 @@
+"""Ground fill, markers export, socket channel, g2o tooling."""
+
+import json
+
+import numpy as np
+import pytest
+
+from mrg_slam_tpu.ops.cloud import PointCloud
+from mrg_slam_tpu.ops.ground_fill import (fill_ground_plane_ransac,
+                                          fill_ground_plane_simple)
+from mrg_slam_tpu.parallel.channel import (InProcessBus, SocketClient,
+                                           SocketServer)
+from mrg_slam_tpu.utils import se3
+
+
+def test_fill_ground_plane_simple(rng):
+    base = np.asarray([0, 0, 0.5, 1, 0, 0, 0], np.float32)
+    cloud = PointCloud.from_array(
+        rng.normal(size=(50, 3)).astype(np.float32), capacity=64)
+    out = fill_ground_plane_simple(cloud, base, radius=2.0, resolution=0.5)
+    pts = out.to_numpy()
+    assert len(pts) > 50
+    ring = pts[50:]
+    np.testing.assert_allclose(ring[:, 2], 0.5, atol=1e-5)  # disc at base z
+    assert np.linalg.norm(ring[:, :2], axis=1).max() <= 2.01
+
+
+def test_fill_ground_plane_ransac(rng):
+    n = 400
+    ground = np.stack([rng.uniform(-3, 3, n), rng.uniform(-3, 3, n),
+                       np.full(n, -1.0)], axis=1).astype(np.float32)
+    cloud = PointCloud.from_array(ground, capacity=512)
+    out = fill_ground_plane_ransac(cloud, radius=3.0, resolution=0.5)
+    pts = out.to_numpy()
+    assert len(pts) > n
+    np.testing.assert_allclose(pts[n:, 2], -1.0, atol=0.1)
+
+
+def test_in_process_bus():
+    bus = InProcessBus()
+    got = []
+    bus.subscribe("t", got.append)
+    bus.publish("t", 42)
+    assert got == [42]
+    bus.advertise("svc", lambda x: x * 2)
+    assert bus.call("svc", 21) == 42
+    assert bus.call("missing", 0) is None
+
+
+def test_socket_channel_roundtrip():
+    srv = SocketServer()
+    srv.advertise("echo", lambda req: {"got": req, "arr": np.arange(5)})
+    cli = SocketClient(srv.address, timeout=5.0)
+    out = cli.call("echo", {"hello": np.ones(3, np.float32)})
+    assert out["got"]["hello"].sum() == 3.0
+    np.testing.assert_array_equal(out["arr"], np.arange(5))
+    assert cli.call("nope", 1) is None
+    cli.close()
+    srv.close()
+
+
+def test_markers_and_g2o_tools(tmp_path, rng):
+    import dataclasses
+    from mrg_slam_tpu.config import (OptimizerConfig, RegistrationConfig,
+                                     SlamConfig, LoopClosureConfig)
+    from mrg_slam_tpu.models.backend import MrgSlam
+    from mrg_slam_tpu.models.markers import export_ply, graph_summary
+    from mrg_slam_tpu.models.persistence import save_graph
+    from mrg_slam_tpu.pipeline.tools import (evaluate_tum, g2o_to_tum,
+                                             g2o_to_poses)
+    from mrg_slam_tpu.utils.tum import save_tum
+
+    cfg = SlamConfig(own_name="m", multi_robot_names=("m",),
+                     capacity_keyframes=32, capacity_edges=64,
+                     capacity_keyframe_points=64,
+                     optimizer=OptimizerConfig(solver_backend="dense"),
+                     robot_remove_points_radius=0.0)
+    slam = MrgSlam(cfg)
+    for i in range(6):
+        pose = np.asarray([i * 2.0, 0, 0, 1, 0, 0, 0], np.float32)
+        cloud = PointCloud.from_array(
+            rng.normal(size=(32, 3)).astype(np.float32), capacity=64)
+        slam.process_scan(i * 0.5, pose, cloud)
+    slam.optimization_tick(now=3.0)
+
+    s = graph_summary(slam, with_marginals=True)
+    assert len(s["nodes"]) >= 3
+    assert any(e["type"] == "odom" for e in s["edges"])
+    assert "ellipsoids" in s and len(s["ellipsoids"]) == len(s["nodes"])
+    json.dumps(s)  # must be serializable
+
+    ply = tmp_path / "graph.ply"
+    export_ply(slam, ply)
+    assert ply.read_bytes().startswith(b"ply")
+
+    save_graph(slam, tmp_path / "g")
+    n = g2o_to_tum(tmp_path / "g" / "graph.g2o", tmp_path / "est.tum")
+    assert n == len(s["nodes"])
+    poses = g2o_to_poses(tmp_path / "g" / "graph.g2o")
+    # ground truth = the same poses -> ATE 0
+    save_tum(tmp_path / "gt.tum", np.arange(len(poses)) * 0.1, poses)
+    res = evaluate_tum(tmp_path / "est.tum", tmp_path / "gt.tum")
+    assert res.ate_rmse < 1e-4
