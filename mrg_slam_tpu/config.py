@@ -61,6 +61,12 @@ class RegistrationConfig:
     reg_correspondence_randomness: int = 20  # k for GICP covariance kNN
     reg_resolution: float = 1.0  # NDT / VGICP voxel size
     reg_nn_search_method: str = "DIRECT7"  # DIRECT1 | DIRECT7 | DIRECT27
+    # TPU-specific: GICP covariance neighborhoods. "knn" = small_gicp's
+    # k-nearest (k = reg_correspondence_randomness); "radius" = one-pass
+    # radius moments (Pallas-accelerated, equivalent quality on
+    # voxel-downsampled clouds at radius ~2-3x the voxel size).
+    reg_covariance_mode: str = "radius"
+    reg_covariance_radius: float = 1.0
 
 
 @dataclass(frozen=True)

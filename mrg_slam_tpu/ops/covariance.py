@@ -33,11 +33,16 @@ class GICPCloud(NamedTuple):
 def regularize_covs_plane(covs: jnp.ndarray, eps: float = 1e-3) -> jnp.ndarray:
     """Replace eigenvalues with (eps, 1, 1), keeping eigenvectors.
 
-    Matches small_gicp's default covariance normalization.
+    Matches small_gicp's default covariance normalization. Since the target
+    spectrum is (eps, 1, 1), the result is I - (1-eps) * n n^T with n the
+    smallest eigenvector (the surface normal) — computed closed-form
+    (ops.sym3eig) instead of iterative eigh, which is ~100x cheaper on TPU.
     """
-    w, v = jnp.linalg.eigh(covs)  # ascending eigenvalues
-    new_w = jnp.ones_like(w).at[..., 0].set(eps)
-    return jnp.einsum("...ij,...j,...kj->...ik", v, new_w, v)
+    from .sym3eig import smallest_eigvec3
+
+    _, n = smallest_eigvec3(covs)
+    eye = jnp.eye(3, dtype=covs.dtype)
+    return eye - (1.0 - eps) * jnp.einsum("...a,...b->...ab", n, n)
 
 
 def regularize_covs_norm(covs: jnp.ndarray, eps: float = 1e-3) -> jnp.ndarray:
@@ -68,6 +73,50 @@ def estimate_covariances(cloud: PointCloud, k: int = 20,
     # invalid points get identity so downstream inverses stay finite
     eye = jnp.eye(3, dtype=cov.dtype)
     cov = jnp.where(cloud.mask[:, None, None], cov, eye)
+    return GICPCloud(points=cloud.points, mask=cloud.mask, covs=cov)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "chunk"))
+def estimate_covariances_radius(cloud: PointCloud, radius: float = 1.0,
+                                chunk: int = 1024) -> GICPCloud:
+    """Radius-neighborhood covariance per point, plane-regularized.
+
+    TPU-fast alternative to the kNN path: one streaming pass accumulating
+    masked moments (ops.pallas_stats on TPU; chunked XLA elsewhere) instead
+    of a top-k sort. On voxel-downsampled clouds, radius ~2-3x the voxel
+    size gives neighborhoods equivalent to small_gicp's kNN-20.
+    """
+    if jax.default_backend() not in ("cpu",):
+        from .pallas_stats import radius_moments_pallas
+
+        cnt, mean, cov = radius_moments_pallas(cloud.points, cloud.mask,
+                                               radius)
+    else:
+        pts = cloud.points
+        r2 = jnp.float32(radius * radius)
+
+        def body(s):
+            d2 = jnp.sum((s[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
+            w = ((d2 <= r2) & cloud.mask[None, :]).astype(jnp.float32)
+            c = jnp.sum(w, axis=1)
+            sm = w @ pts
+            m2 = jnp.einsum("ct,ta,tb->cab", w, pts, pts)
+            return c, sm, m2
+
+        n = pts.shape[0]
+        pad = (-n) % chunk
+        pts_q = jnp.concatenate(
+            [pts, jnp.full((pad, 3), 1e6, pts.dtype)], 0) if pad else pts
+        c, sm, m2 = jax.lax.map(body, pts_q.reshape(-1, chunk, 3))
+        cnt = c.reshape(-1)[:n]
+        safe = jnp.maximum(cnt, 1.0)
+        mean = sm.reshape(-1, 3)[:n] / safe[:, None]
+        cov = (m2.reshape(-1, 3, 3)[:n] / safe[:, None, None]
+               - jnp.einsum("na,nb->nab", mean, mean))
+    cov = regularize_covs_plane(cov)
+    eye = jnp.eye(3, dtype=cov.dtype)
+    degenerate = cnt < 3
+    cov = jnp.where((cloud.mask & ~degenerate)[:, None, None], cov, eye)
     return GICPCloud(points=cloud.points, mask=cloud.mask, covs=cov)
 
 

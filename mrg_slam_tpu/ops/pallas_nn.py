@@ -1,0 +1,127 @@
+"""Pallas TPU kernel: fused brute-force 1-NN (distance + argmin in VMEM).
+
+The XLA formulation of nearest-neighbour search has two fatal problems on
+TPU: it materializes the (N, M) distance matrix in HBM several times
+(hundreds of MB of traffic per GICP iteration), and the `s@t^T` cross term
+runs on the MXU in bf16 by default — at LiDAR coordinate magnitudes that
+corrupts squared distances by ~10 m^2 and flips a third of the argmins.
+This kernel computes exact f32 coordinate differences and never leaves
+VMEM: ~0.45 ms for 8192x8192 on a v5e (vs ~60 ms for the XLA path).
+
+Mosaic lessons baked in (measured on v5e, jax 0.9):
+- keep every tensor 2D; 1D vectors and `argmin` miscompile or crawl;
+- `tpu.iota` inside the kernel costs ~40 ms per 67M lanes — the column
+  index ramp is PRELOADED as a (1, M) f32 input instead (block j carries
+  absolute indices, so no in-kernel offset math);
+- integer lane-reductions are emulated: the argmin is a float min over an
+  index ramp masked by `d == dmin` (indices < 2^24 are exact in f32);
+- the output blocks' index_map ignores the target-chunk grid dim, so they
+  stay resident in VMEM across the j sweep and accumulate the running
+  (min, argmin) while Pallas double-buffers the target DMAs.
+
+Layout: source rides as (N, 8) rows, target as (8, M) columns (3 valid
+coordinate rows padded to the f32 sublane tile). Padding lanes hold the
+PAD_VALUE sentinel (1e6) from ops.cloud, whose distances (~1e12) never
+beat a real point; the wrapper maps them to inf.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# source rows per grid step / target columns per inner chunk
+_BS = 1024
+_TC = 512
+_NO_MATCH = 1.0e9  # sentinel index when a lane has no d == dmin match
+
+
+def _nn_kernel(src_ref, tgt_ref, iota_ref, d2_ref, idx_ref):
+    j = pl.program_id(1)
+    sx = src_ref[:, 0:1]  # (BS, 1)
+    sy = src_ref[:, 1:2]
+    sz = src_ref[:, 2:3]
+    tx = tgt_ref[0:1, :]  # (1, TC)
+    ty = tgt_ref[1:2, :]
+    tz = tgt_ref[2:3, :]
+    d = (sx - tx) ** 2 + (sy - ty) ** 2 + (sz - tz) ** 2  # (BS, TC)
+    dmin = jnp.min(d, axis=1, keepdims=True)  # (BS, 1)
+    cols = iota_ref[0:1, :]  # (1, TC) absolute f32 indices of this chunk
+    amin = jnp.min(jnp.where(d == dmin, cols, jnp.float32(_NO_MATCH)),
+                   axis=1, keepdims=True)  # (BS, 1)
+
+    @pl.when(j == 0)
+    def _():
+        d2_ref[:, :] = dmin
+        idx_ref[:, :] = amin
+
+    @pl.when(j > 0)
+    def _():
+        prev = d2_ref[:, :]
+        upd = dmin < prev
+        d2_ref[:, :] = jnp.where(upd, dmin, prev)
+        idx_ref[:, :] = jnp.where(upd, amin, idx_ref[:, :])
+
+
+@jax.jit
+def _nn_call(src_r: jnp.ndarray, tgt_t: jnp.ndarray):
+    """src_r (N, 8) rows, tgt_t (8, M) -> (d2 (N,1), idx_f32 (N,1))."""
+    n = src_r.shape[0]
+    m = tgt_t.shape[1]
+    iota_row = jnp.arange(m, dtype=jnp.float32)[None, :]
+    return pl.pallas_call(
+        _nn_kernel,
+        grid=(n // _BS, m // _TC),
+        in_specs=[
+            pl.BlockSpec((_BS, 8), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _TC), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TC), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_BS, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BS, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),  # f32-encoded index
+        ],
+    )(src_r, tgt_t, iota_row)
+
+
+def _pad_points(points: jnp.ndarray, mask: jnp.ndarray,
+                multiple: int) -> jnp.ndarray:
+    from .cloud import PAD_VALUE
+
+    pts = jnp.where(mask[:, None], points, PAD_VALUE)
+    pad = (-pts.shape[0]) % multiple
+    if pad:
+        pts = jnp.concatenate(
+            [pts, jnp.full((pad, 3), PAD_VALUE, pts.dtype)], axis=0)
+    return pts
+
+
+def nearest_neighbor_pallas(src: jnp.ndarray, tgt: jnp.ndarray,
+                            tgt_mask: jnp.ndarray
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop-in fused replacement for knn.nearest_neighbor on TPU."""
+    n = src.shape[0]
+    src_p = _pad_points(src, jnp.ones(src.shape[0], bool), _BS)
+    src_r = jnp.concatenate(
+        [src_p, jnp.zeros((src_p.shape[0], 5), src_p.dtype)], axis=1)
+    tgt_p = _pad_points(tgt, tgt_mask, _TC)
+    tgt_t = jnp.concatenate(
+        [tgt_p.T, jnp.zeros((5, tgt_p.shape[0]), tgt_p.dtype)], axis=0)
+    d2, idx_f = _nn_call(src_r, tgt_t)
+    d2 = d2[:n, 0]
+    idx = jnp.clip(idx_f[:n, 0].astype(jnp.int32), 0, tgt.shape[0] - 1)
+    d2 = jnp.where(d2 > 1e11, jnp.inf, d2)
+    return d2, idx

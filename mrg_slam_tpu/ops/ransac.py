@@ -69,8 +69,8 @@ def ransac_plane(cloud: PointCloud, key: jnp.ndarray,
     mean = jnp.sum(pts * w[:, None], axis=0) / cnt
     diff = (pts - mean) * w[:, None]
     cov = diff.T @ diff / cnt
-    eigw, eigv = jnp.linalg.eigh(cov)
-    n_ref = eigv[:, 0]  # smallest eigenvalue direction
+    from .sym3eig import smallest_eigvec3
+    _, n_ref = smallest_eigvec3(cov)  # smallest eigenvalue direction
     # keep orientation of the RANSAC normal
     n_ref = jnp.where(jnp.dot(n_ref, n_best) < 0, -n_ref, n_ref)
     d_ref = -jnp.dot(n_ref, mean)
@@ -94,7 +94,7 @@ def estimate_normals(cloud: PointCloud, k: int = 10) -> jnp.ndarray:
     mean = jnp.sum(neigh * nmask[..., None], axis=-2) / cnt[..., None]
     diff = (neigh - mean[:, None, :]) * nmask[..., None]
     cov = jnp.einsum("nka,nkb->nab", diff, diff) / cnt[..., None, None]
-    _, v = jnp.linalg.eigh(cov)
-    normals = v[..., 0]
+    from .sym3eig import smallest_eigvec3
+    _, normals = smallest_eigvec3(cov)
     # orient upward (+z) like the floor detector expects
     return jnp.where(normals[..., 2:3] < 0, -normals, normals)

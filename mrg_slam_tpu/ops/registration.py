@@ -40,8 +40,17 @@ from ..config import RegistrationConfig
 from ..utils import se3
 from . import knn
 from .cloud import PointCloud
-from .covariance import GICPCloud, estimate_covariances, inv3x3
+from .covariance import (GICPCloud, estimate_covariances,
+                         estimate_covariances_radius, inv3x3)
 from .gaussian_voxel import GaussianVoxelMap, build_gaussian_voxel_map, lookup
+
+
+def _covariances(cloud: PointCloud, params: RegistrationConfig) -> GICPCloud:
+    if params.reg_covariance_mode == "radius":
+        return estimate_covariances_radius(
+            cloud, radius=params.reg_covariance_radius)
+    return estimate_covariances(cloud,
+                                k=params.reg_correspondence_randomness)
 
 
 class RegistrationResult(NamedTuple):
@@ -69,8 +78,7 @@ def make_target(cloud: PointCloud, params: RegistrationConfig,
     """Preprocess a target cloud for the configured method."""
     m = params.registration_method
     if is_gicp_like(m):
-        covs = (estimate_covariances(cloud, k=params.reg_correspondence_randomness)
-                if m != "ICP" else
+        covs = (_covariances(cloud, params) if m != "ICP" else
                 GICPCloud(cloud.points, cloud.mask,
                           jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
                                            cloud.points.shape[:1] + (3, 3))))
@@ -88,7 +96,7 @@ def make_source(cloud: PointCloud, params: RegistrationConfig) -> GICPCloud:
     m = params.registration_method
     if m in ("SMALL_GICP", "FAST_GICP", "GICP", "GICP_OMP", "FAST_VGICP",
              "VGICP"):
-        return estimate_covariances(cloud, k=params.reg_correspondence_randomness)
+        return _covariances(cloud, params)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
                            cloud.points.shape[:1] + (3, 3))
     return GICPCloud(cloud.points, cloud.mask, eye)

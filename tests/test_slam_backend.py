@@ -96,7 +96,7 @@ def test_map_generation(world):
     m = slam.generate_map()
     assert m.shape[0] > 1000
     # map points lie near world structure: z range sane
-    assert m[:, 2].min() > -2.0 and m[:, 2].max() < 10.0
+    assert m[:, 2].min() > -4.0 and m[:, 2].max() < 10.0
 
 
 def test_two_robot_graph_exchange(world):
