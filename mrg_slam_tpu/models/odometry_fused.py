@@ -1,0 +1,135 @@
+"""Device-resident scan-matching odometry: one jitted step, zero host syncs.
+
+models/odometry.py mirrors the reference's host-side control flow, reading
+back scalars every scan. Through a remote TPU link every host round trip
+costs ~26 ms — more than the compute itself. This variant keeps the whole
+odometry state machine on device:
+
+- the carry holds the keyframe target, poses, and switch bookkeeping;
+- the keyframe switch (scan_matching_odometry_component.cpp:326-339) is a
+  masked select instead of a host branch — for GICP-family methods the
+  would-be keyframe target IS the current source (same cloud, same
+  covariances), so "rebuilding the target" is free;
+- the host streams scans and fetches pose batches at whatever cadence it
+  likes (`run_batch` scans a whole frame block in one dispatch).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ScanMatchingOdometryConfig
+from ..ops import registration as reg
+from ..ops.cloud import PointCloud
+from ..ops.covariance import GICPCloud
+from ..utils import se3
+
+
+class OdomCarry(NamedTuple):
+    target_points: jnp.ndarray   # (P,3) keyframe cloud
+    target_mask: jnp.ndarray     # (P,)
+    target_covs: jnp.ndarray     # (P,3,3)
+    keyframe_pose: jnp.ndarray   # (7,) odom frame
+    keyframe_stamp: jnp.ndarray  # f32
+    prev_rel: jnp.ndarray        # (7,) keyframe -> last scan
+    last_delta: jnp.ndarray      # (7,) scan-to-scan
+    prev_pose: jnp.ndarray       # (7,)
+    initialized: jnp.ndarray     # bool
+
+
+class OdomStepOut(NamedTuple):
+    pose: jnp.ndarray            # (7,)
+    delta: jnp.ndarray           # (7,)
+    is_new_keyframe: jnp.ndarray  # bool
+    converged: jnp.ndarray       # bool
+    error: jnp.ndarray           # f32
+    num_inliers: jnp.ndarray     # i32
+
+
+def init_carry(capacity: int) -> OdomCarry:
+    ident = jnp.asarray(se3.pose_identity())
+    return OdomCarry(
+        target_points=jnp.full((capacity, 3), 1.0e6, jnp.float32),
+        target_mask=jnp.zeros(capacity, bool),
+        target_covs=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
+                                     (capacity, 3, 3)),
+        keyframe_pose=ident, keyframe_stamp=jnp.float32(0.0),
+        prev_rel=ident, last_delta=ident, prev_pose=ident,
+        initialized=jnp.bool_(False))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def odometry_step(cfg: ScanMatchingOdometryConfig, carry: OdomCarry,
+                  points: jnp.ndarray, mask: jnp.ndarray,
+                  stamp: jnp.ndarray) -> Tuple[OdomCarry, OdomStepOut]:
+    """One fully-jitted frame-to-keyframe odometry step (GICP family)."""
+    params = cfg.registration
+    assert reg.is_gicp_like(params.registration_method), (
+        "fused odometry supports the GICP family; use models.odometry for "
+        "voxel-target methods")
+    cloud = PointCloud(points, mask)
+    source = reg.make_source(cloud, params)
+
+    guess = se3.pose_compose(carry.prev_rel, carry.last_delta)
+    target = reg.RegistrationTarget(gicp=GICPCloud(
+        carry.target_points, carry.target_mask, carry.target_covs))
+    result = reg.align(params, source, target, guess)
+
+    finite = jnp.isfinite(result.pose).all()
+    rel = jnp.where(finite, result.pose, carry.prev_rel)
+
+    pose = se3.pose_compose(carry.keyframe_pose, rel)
+    delta = se3.pose_between(carry.prev_pose, pose)
+
+    dt = jnp.linalg.norm(rel[:3])
+    da = se3.rotation_angle(rel[3:7])
+    dtime = stamp - carry.keyframe_stamp
+    new_kf = ((dt > cfg.keyframe_delta_translation)
+              | (da > cfg.keyframe_delta_angle)
+              | (dtime > cfg.keyframe_delta_time)
+              | ~carry.initialized)
+
+    # first frame: become the keyframe at identity with identity rel
+    pose = jnp.where(carry.initialized, pose,
+                     jnp.asarray(se3.pose_identity()))
+    delta = jnp.where(carry.initialized, delta,
+                      jnp.asarray(se3.pose_identity()))
+    rel_out = jnp.where(new_kf, jnp.asarray(se3.pose_identity()), rel)
+
+    sel = lambda a, b: jnp.where(new_kf, a, b)
+    carry2 = OdomCarry(
+        target_points=sel(source.points, carry.target_points),
+        target_mask=jnp.where(new_kf, source.mask, carry.target_mask),
+        target_covs=sel(source.covs, carry.target_covs),
+        keyframe_pose=sel(pose, carry.keyframe_pose),
+        keyframe_stamp=jnp.where(new_kf, jnp.float32(stamp),
+                                 carry.keyframe_stamp),
+        prev_rel=rel_out, last_delta=delta, prev_pose=pose,
+        initialized=jnp.bool_(True))
+    out = OdomStepOut(pose=pose, delta=delta, is_new_keyframe=new_kf,
+                      converged=result.converged | (result.iterations > 0),
+                      error=result.error, num_inliers=result.num_inliers)
+    return carry2, out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def run_batch(cfg: ScanMatchingOdometryConfig, carry: OdomCarry,
+              points: jnp.ndarray, masks: jnp.ndarray,
+              stamps: jnp.ndarray) -> Tuple[OdomCarry, OdomStepOut]:
+    """Scan a whole (F, P, 3) frame block in ONE device program.
+
+    The odometry chain is inherently sequential; `lax.scan` keeps the
+    sequence on device so the host pays one dispatch + one fetch per block
+    instead of per frame.
+    """
+
+    def body(c, frame):
+        pts, m, s = frame
+        c2, out = odometry_step(cfg, c, pts, m, s)
+        return c2, out
+
+    return jax.lax.scan(body, carry, (points, masks, stamps))
