@@ -1,0 +1,139 @@
+"""CLI entry point — the `ros2 launch mrg_slam mrg_slam.launch.py` of this
+framework.
+
+Mirrors the reference launch surface (launch/mrg_slam.launch.py): a YAML
+config (the reference's own mrg_slam.yaml parses directly) plus
+`param:=value` CLI overrides (PARAM_MAPPING, launch:13-54), then runs a
+full SLAM stack over a dataset:
+
+    python -m mrg_slam_tpu.launch --dataset synthetic \
+        model_namespace:=atlas x:=0.0 y:=0.0 registration_method:=SMALL_GICP
+    python -m mrg_slam_tpu.launch --dataset kitti --kitti-root /data/kitti \
+        --sequence 00 --config config/mrg_slam.yaml --output results/
+    python -m mrg_slam_tpu.launch --dataset rosbag --bag run1.db3 \
+        --topic /husky1/velodyne_points
+
+Outputs: TUM trajectory, map PCD, graph save directory, evo-style report.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def _parse_overrides(tokens):
+    out = {}
+    for t in tokens:
+        if ":=" not in t:
+            raise SystemExit(f"override '{t}' is not of the form key:=value")
+        k, v = t.split(":=", 1)
+        try:
+            out[k] = json.loads(v)
+        except json.JSONDecodeError:
+            out[k] = v
+    return out
+
+
+_SECTIONS = ("prefiltering_component", "scan_matching_odometry_component",
+             "floor_detection_component", "mrg_slam_component")
+
+
+def _apply_overrides(cfg_dict: dict, overrides: dict) -> dict:
+    """Apply flat key:=value overrides into every component section (the
+    reference's PARAM_MAPPING pushes one flat namespace into all component
+    parameter sets; EngineConfig.from_yaml_dict filters by known fields)."""
+    for section in _SECTIONS:
+        params = cfg_dict.setdefault(section, {})
+        inner = params.get("ros__parameters", params)
+        for k, v in overrides.items():
+            inner[k] = v
+    return cfg_dict
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", help="YAML config (reference format ok)")
+    ap.add_argument("--dataset", choices=["synthetic", "kitti", "rosbag"],
+                    default="synthetic")
+    ap.add_argument("--kitti-root")
+    ap.add_argument("--sequence", default="00")
+    ap.add_argument("--bag")
+    ap.add_argument("--topic", default="/velodyne_points")
+    ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--tick-every", type=int, default=30)
+    ap.add_argument("--output", default="results")
+    ap.add_argument("overrides", nargs="*", help="param:=value overrides")
+    args = ap.parse_args(argv)
+
+    from .config import EngineConfig
+
+    if args.config:
+        import yaml
+
+        with open(args.config) as f:
+            d = yaml.safe_load(f)
+        d = _apply_overrides(d, _parse_overrides(args.overrides))
+        cfg = EngineConfig.from_yaml_dict(d)
+    else:
+        d = {"mrg_slam_component": _parse_overrides(args.overrides)}
+        cfg = EngineConfig.from_yaml_dict(d)
+
+    from .pipeline.replay import Robot, replay
+
+    out_dir = Path(args.output)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    gt_xyz = None
+    if args.dataset == "kitti":
+        from .io.kitti import KittiSequence
+
+        seq = KittiSequence.open(args.kitti_root, args.sequence)
+        n = min(len(seq), args.frames) if args.frames > 0 else len(seq)
+        frames = ((seq.times[i], seq.scan(i)) for i in range(n))
+        if seq.gt_poses_velo is not None:
+            gt_xyz = seq.gt_poses_velo[:n, :3, 3]
+    elif args.dataset == "rosbag":
+        from .io.rosbag import BagReader
+
+        bag = BagReader(args.bag)
+        frames = bag.pointclouds(args.topic)
+    else:
+        from .io.synthetic import SyntheticWorld, circle_trajectory
+
+        world = SyntheticWorld.build(seed=0)
+        traj = circle_trajectory(args.frames, radius=18.0, laps=1.2)
+        frames = ((i * 0.1, world.scan(p, seed=i))
+                  for i, p in enumerate(traj))
+        gt_xyz = traj[:, :3]
+
+    robot = Robot(cfg)
+    result = replay(robot, frames, tick_every=args.tick_every, gt_xyz=gt_xyz,
+                    tum_path=str(out_dir / "trajectory_tum.txt"))
+
+    from .io.pcd import save_pcd
+    from .models.markers import export_ply, graph_summary
+    from .models.persistence import save_graph
+
+    map_pts = robot.slam.generate_map()
+    save_pcd(out_dir / "map.pcd", map_pts)
+    save_graph(robot.slam, out_dir / "graph")
+    export_ply(robot.slam, out_dir / "graph.ply")
+    (out_dir / "summary.json").write_text(json.dumps({
+        "frames": int(len(result.stamps)),
+        "keyframes": int(len(robot.slam.db.keyframes)
+                         + len(robot.slam.db.new_keyframes)),
+        "loops": result.num_loops,
+        "ate_rmse": result.ate,
+        "rpe_rmse": result.rpe,
+        "frames_per_s": result.frames_per_s,
+        "map_points": int(len(map_pts)),
+    }, indent=2))
+    print(json.dumps(json.loads((out_dir / "summary.json").read_text())))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,75 @@
+"""Rosbag sqlite/CDR round trip + launch CLI smoke test."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from mrg_slam_tpu.io.rosbag import (BagReader, parse_pointcloud2,
+                                    serialize_pointcloud2, write_bag)
+
+
+def test_pointcloud2_cdr_roundtrip(rng):
+    pts = rng.normal(size=(777, 3)).astype(np.float32)
+    payload = serialize_pointcloud2(12.5, "velodyne", pts)
+    msg = parse_pointcloud2(payload)
+    assert msg.frame_id == "velodyne"
+    assert abs(msg.stamp - 12.5) < 1e-6
+    assert msg.width == 777 and msg.point_step == 12
+    np.testing.assert_allclose(msg.xyz(), pts, atol=0)
+
+
+def test_bag_write_read(tmp_path, rng):
+    clouds = [(i * 0.1, rng.normal(size=(100, 3)).astype(np.float32))
+              for i in range(5)]
+    bag = tmp_path / "test.db3"
+    write_bag(str(bag), "/husky1/velodyne_points", clouds)
+    r = BagReader(str(bag))
+    assert r.topics() == {
+        "/husky1/velodyne_points": "sensor_msgs/msg/PointCloud2"}
+    got = list(r.pointclouds("/husky1/velodyne_points"))
+    assert len(got) == 5
+    for (ts, pts), (gts, gpts) in zip(clouds, got):
+        assert abs(ts - gts) < 1e-6
+        np.testing.assert_allclose(gpts, pts, atol=0)
+    r.close()
+
+
+def test_launch_cli_synthetic(tmp_path):
+    from mrg_slam_tpu import launch
+
+    rc = launch.main([
+        "--dataset", "synthetic", "--frames", "30", "--tick-every", "15",
+        "--output", str(tmp_path / "out"),
+        "keyframe_delta_trans:=2.0", "downsample_resolution:=0.4",
+        "capacity_keyframes:=64", "capacity_edges:=256",
+        "capacity_raw_points:=8192", "capacity_filtered_points:=1024",
+        "capacity_keyframe_points:=1024", "outlier_removal_method:=NONE",
+        "reg_maximum_iterations:=24",
+    ])
+    assert rc == 0
+    summary = json.loads((tmp_path / "out" / "summary.json").read_text())
+    assert summary["frames"] == 30
+    assert summary["keyframes"] >= 3
+    assert (tmp_path / "out" / "trajectory_tum.txt").exists()
+    assert (tmp_path / "out" / "map.pcd").exists()
+    assert (tmp_path / "out" / "graph" / "graph.g2o").exists()
+
+
+def test_launch_cli_reference_yaml(tmp_path):
+    """The reference's own config file must drive the CLI."""
+    from mrg_slam_tpu import launch
+
+    rc = launch.main([
+        "--config", "/root/reference/config/mrg_slam.yaml",
+        "--dataset", "synthetic", "--frames", "12", "--tick-every", "6",
+        "--output", str(tmp_path / "out2"),
+        # shrink capacities so the smoke test stays fast on CPU
+        "capacity_keyframes:=64", "capacity_edges:=256",
+        "capacity_raw_points:=8192", "capacity_filtered_points:=1024",
+        "capacity_keyframe_points:=1024", "outlier_removal_method:=NONE",
+        "reg_maximum_iterations:=16",
+    ])
+    assert rc == 0
