@@ -17,7 +17,10 @@ import numpy as np
 from ..config import OptimizerConfig
 from ..utils import se3
 from . import solve
-from .types import (KERNEL_IDS, PRIOR_QUAT, PRIOR_VEC, PRIOR_XYZ, PlaneEdges,
+from .types import (KERNEL_IDS, PLANE_PLANE_IDENTITY, PLANE_PLANE_PARALLEL,
+                    PLANE_PLANE_PERPENDICULAR, PLANE_PRIOR_DISTANCE,
+                    PLANE_PRIOR_NORMAL, PRIOR_QUAT, PRIOR_VEC, PRIOR_XYZ,
+                    PlaneEdges, PlanePlaneEdges, PlanePriorEdges,
                     PoseGraphData, PriorEdges, SE3Edges)
 
 
@@ -39,6 +42,8 @@ class GraphSLAM:
         self._se3 = []        # (from, to, meas7, info66, kernel, delta)
         self._priors = []     # (node, ptype, meas8, info33, kernel, delta)
         self._pl_edges = []   # (node, plane, meas4, info33, kernel, delta)
+        self._pl_priors = []  # (plane, ptype, meas4, info44, kernel, delta)
+        self._pl_pl = []      # (from, to, ptype, meas4, info44, kernel, delta)
         self.chi2_initial = 0.0
         self.chi2_final = 0.0
         self.last_iterations = 0
@@ -123,6 +128,63 @@ class GraphSLAM:
                                KERNEL_IDS[kernel], float(kernel_delta)))
         return len(self._pl_edges) - 1
 
+    # -- plane priors / plane-plane edges -------------------------------
+    def add_plane_prior_normal_edge(self, plane_id: int, normal, info3,
+                                    kernel: str = "NONE",
+                                    kernel_delta: float = 1.0) -> int:
+        meas = np.zeros(4, np.float32)
+        meas[:3] = np.asarray(normal, np.float32)
+        info = np.zeros((4, 4), np.float32)
+        info[:3, :3] = np.asarray(info3, np.float32).reshape(3, 3)
+        self._pl_priors.append((plane_id, PLANE_PRIOR_NORMAL, meas, info,
+                                KERNEL_IDS[kernel], float(kernel_delta)))
+        return len(self._pl_priors) - 1
+
+    def add_plane_prior_distance_edge(self, plane_id: int, distance: float,
+                                      info1: float, kernel: str = "NONE",
+                                      kernel_delta: float = 1.0) -> int:
+        meas = np.zeros(4, np.float32)
+        meas[0] = distance
+        info = np.zeros((4, 4), np.float32)
+        info[0, 0] = float(info1)
+        self._pl_priors.append((plane_id, PLANE_PRIOR_DISTANCE, meas, info,
+                                KERNEL_IDS[kernel], float(kernel_delta)))
+        return len(self._pl_priors) - 1
+
+    def _add_plane_plane(self, a, b, ptype, meas4, info44, kernel, delta):
+        self._pl_pl.append((a, b, ptype, meas4, info44, KERNEL_IDS[kernel],
+                            float(delta)))
+        return len(self._pl_pl) - 1
+
+    def add_plane_identity_edge(self, a: int, b: int, meas4, info4,
+                                kernel: str = "NONE",
+                                kernel_delta: float = 1.0) -> int:
+        return self._add_plane_plane(
+            a, b, PLANE_PLANE_IDENTITY, np.asarray(meas4, np.float32),
+            np.asarray(info4, np.float32).reshape(4, 4), kernel, kernel_delta)
+
+    def add_plane_parallel_edge(self, a: int, b: int, meas3, info3,
+                                kernel: str = "NONE",
+                                kernel_delta: float = 1.0) -> int:
+        meas = np.zeros(4, np.float32)
+        meas[:3] = np.asarray(meas3, np.float32)
+        info = np.zeros((4, 4), np.float32)
+        info[:3, :3] = np.asarray(info3, np.float32).reshape(3, 3)
+        return self._add_plane_plane(a, b, PLANE_PLANE_PARALLEL, meas, info,
+                                     kernel, kernel_delta)
+
+    def add_plane_perpendicular_edge(self, a: int, b: int,
+                                     meas_dot: float = 0.0,
+                                     info1: float = 1.0,
+                                     kernel: str = "NONE",
+                                     kernel_delta: float = 1.0) -> int:
+        meas = np.zeros(4, np.float32)
+        meas[0] = meas_dot
+        info = np.zeros((4, 4), np.float32)
+        info[0, 0] = float(info1)
+        return self._add_plane_plane(a, b, PLANE_PLANE_PERPENDICULAR, meas,
+                                     info, kernel, kernel_delta)
+
     # -- solve ----------------------------------------------------------
     @property
     def num_nodes(self) -> int:
@@ -188,6 +250,15 @@ class GraphSLAM:
             ("node_idx", (), np.int32), ("plane_idx", (), np.int32),
             ("meas", (4,), np.float32), ("info", (3, 3), np.float32),
             ("kernel", (), np.int32), ("delta", (), np.float32)])
+        pp_t = table(self._pl_priors, g.plane_priors, [
+            ("plane_idx", (), np.int32), ("ptype", (), np.int32),
+            ("meas", (4,), np.float32), ("info", (4, 4), np.float32),
+            ("kernel", (), np.int32), ("delta", (), np.float32)])
+        qq_t = table(self._pl_pl, g.plane_plane, [
+            ("from_idx", (), np.int32), ("to_idx", (), np.int32),
+            ("ptype", (), np.int32),
+            ("meas", (4,), np.float32), ("info", (4, 4), np.float32),
+            ("kernel", (), np.int32), ("delta", (), np.float32)])
 
         return PoseGraphData(
             poses=jnp.asarray(poses), node_mask=jnp.asarray(node_mask),
@@ -195,7 +266,9 @@ class GraphSLAM:
             plane_mask=jnp.asarray(plane_mask),
             plane_fixed=jnp.asarray(plane_fixed),
             se3=SE3Edges(**se3_t), priors=PriorEdges(**pr_t),
-            plane_edges=PlaneEdges(**pl_t))
+            plane_edges=PlaneEdges(**pl_t),
+            plane_priors=PlanePriorEdges(**pp_t),
+            plane_plane=PlanePlaneEdges(**qq_t))
 
     def optimize(self, num_iterations: Optional[int] = None) -> float:
         """Run LM; writes optimized estimates back into the staging buffers.

@@ -26,8 +26,11 @@ import jax
 import jax.numpy as jnp
 
 from ..utils import se3
-from .types import (PRIOR_QUAT, PRIOR_VEC, PRIOR_XYZ, PlaneEdges, PriorEdges,
-                    SE3Edges, plane_basis, plane_retract)
+from .types import (PLANE_PLANE_IDENTITY, PLANE_PLANE_PARALLEL,
+                    PLANE_PLANE_PERPENDICULAR, PLANE_PRIOR_DISTANCE,
+                    PLANE_PRIOR_NORMAL, PRIOR_QUAT, PRIOR_VEC, PRIOR_XYZ,
+                    PlaneEdges, PlanePlaneEdges, PlanePriorEdges,
+                    PriorEdges, SE3Edges, plane_basis, plane_retract)
 
 
 # ---------------------------------------------------------------------------
@@ -106,6 +109,55 @@ def plane_edge_terms(poses: jnp.ndarray, planes: jnp.ndarray,
                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     return jax.vmap(_plane_one)(poses[edges.node_idx],
                                 planes[edges.plane_idx], edges.meas)
+
+
+# ---------------------------------------------------------------------------
+# plane priors and plane-plane edges (registered by the reference's
+# GraphSLAM, graph_slam.cpp:33-42; unused by the live pipeline but part of
+# the public edge-type surface)
+# ---------------------------------------------------------------------------
+
+def _plane_prior_one(plane, ptype, meas):
+    def f(delta):
+        pi = plane_retract(plane, delta)
+        r_normal = jnp.concatenate([pi[0:3] - meas[0:3],
+                                    jnp.zeros(1, plane.dtype)])
+        r_dist = jnp.concatenate([pi[3:4] - meas[0:1],
+                                  jnp.zeros(3, plane.dtype)])
+        return jnp.where(ptype == PLANE_PRIOR_NORMAL, r_normal, r_dist)
+    z = jnp.zeros(3, plane.dtype)
+    return f(z), jax.jacfwd(f)(z)  # (4,), (4,3)
+
+
+def plane_prior_terms(planes: jnp.ndarray, edges: PlanePriorEdges):
+    return jax.vmap(_plane_prior_one)(planes[edges.plane_idx], edges.ptype,
+                                      edges.meas)
+
+
+def _plane_plane_one(p1, p2, ptype, meas):
+    def f(x):
+        a = plane_retract(p1, x[0:3])
+        b = plane_retract(p2, x[3:6])
+        r_ident = (b - a) - meas
+        r_par = jnp.concatenate([(b[0:3] - a[0:3]) - meas[0:3],
+                                 jnp.zeros(1, p1.dtype)])
+        r_perp = jnp.concatenate([
+            (jnp.dot(a[0:3], b[0:3]) - meas[0])[None],
+            jnp.zeros(3, p1.dtype)])
+        return jnp.select(
+            [ptype == PLANE_PLANE_IDENTITY, ptype == PLANE_PLANE_PARALLEL,
+             ptype == PLANE_PLANE_PERPENDICULAR],
+            [r_ident, r_par, r_perp])
+    z = jnp.zeros(6, p1.dtype)
+    r = f(z)
+    J = jax.jacfwd(f)(z)  # (4, 6)
+    return r, J[:, 0:3], J[:, 3:6]
+
+
+def plane_plane_terms(planes: jnp.ndarray, edges: PlanePlaneEdges):
+    return jax.vmap(_plane_plane_one)(planes[edges.from_idx],
+                                      planes[edges.to_idx], edges.ptype,
+                                      edges.meas)
 
 
 def transform_plane(pose: jnp.ndarray, plane_world: jnp.ndarray) -> jnp.ndarray:

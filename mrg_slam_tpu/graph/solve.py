@@ -48,6 +48,15 @@ class LinearizedGraph(NamedTuple):
     Jpl_pose: jnp.ndarray
     Jpl_plane: jnp.ndarray
     W_pl: jnp.ndarray
+    # plane priors
+    r_pp: jnp.ndarray
+    Jpp: jnp.ndarray
+    W_pp: jnp.ndarray
+    # plane-plane edges
+    r_qq: jnp.ndarray
+    Jqq_a: jnp.ndarray
+    Jqq_b: jnp.ndarray
+    W_qq: jnp.ndarray
 
 
 class OptimizeResult(NamedTuple):
@@ -86,11 +95,19 @@ def linearize(g: PoseGraphData, axis_name=None) -> LinearizedGraph:
                                                    g.plane_edges)
     W_pl, c3 = _weighted(g.plane_edges.info, r_pl, g.plane_edges.kernel,
                          g.plane_edges.delta, g.plane_edges.mask)
-    return LinearizedGraph(chi2=_psum_if(c1 + c2 + c3, axis_name),
+    r_pp, Jpp = E.plane_prior_terms(g.planes, g.plane_priors)
+    W_pp, c4 = _weighted(g.plane_priors.info, r_pp, g.plane_priors.kernel,
+                         g.plane_priors.delta, g.plane_priors.mask)
+    r_qq, Jqq_a, Jqq_b = E.plane_plane_terms(g.planes, g.plane_plane)
+    W_qq, c5 = _weighted(g.plane_plane.info, r_qq, g.plane_plane.kernel,
+                         g.plane_plane.delta, g.plane_plane.mask)
+    return LinearizedGraph(chi2=_psum_if(c1 + c2 + c3 + c4 + c5, axis_name),
                            r_se3=r_se3, Ji=Ji, Jj=Jj,
                            W_se3=W_se3, r_pr=r_pr, Jp=Jp, W_pr=W_pr,
                            r_pl=r_pl, Jpl_pose=Jpl_pose,
-                           Jpl_plane=Jpl_plane, W_pl=W_pl)
+                           Jpl_plane=Jpl_plane, W_pl=W_pl,
+                           r_pp=r_pp, Jpp=Jpp, W_pp=W_pp,
+                           r_qq=r_qq, Jqq_a=Jqq_a, Jqq_b=Jqq_b, W_qq=W_qq)
 
 
 def chi2_only(g: PoseGraphData, axis_name=None) -> jnp.ndarray:
@@ -103,7 +120,13 @@ def chi2_only(g: PoseGraphData, axis_name=None) -> jnp.ndarray:
     r_pl, _, _ = E.plane_edge_terms(g.poses, g.planes, g.plane_edges)
     _, c3 = _weighted(g.plane_edges.info, r_pl, g.plane_edges.kernel,
                       g.plane_edges.delta, g.plane_edges.mask)
-    return _psum_if(c1 + c2 + c3, axis_name)
+    r_pp, _ = E.plane_prior_terms(g.planes, g.plane_priors)
+    _, c4 = _weighted(g.plane_priors.info, r_pp, g.plane_priors.kernel,
+                      g.plane_priors.delta, g.plane_priors.mask)
+    r_qq, _, _ = E.plane_plane_terms(g.planes, g.plane_plane)
+    _, c5 = _weighted(g.plane_plane.info, r_qq, g.plane_plane.kernel,
+                      g.plane_plane.delta, g.plane_plane.mask)
+    return _psum_if(c1 + c2 + c3 + c4 + c5, axis_name)
 
 
 # ---------------------------------------------------------------------------
@@ -133,6 +156,14 @@ def gradient(g: PoseGraphData, lin: LinearizedGraph, axis_name=None):
                                g.plane_edges.node_idx, num_segments=n)
     g_p = jax.ops.segment_sum(jnp.einsum("eai,ea->ei", lin.Jpl_plane, Wr_pl),
                               g.plane_edges.plane_idx, num_segments=p)
+    Wr_pp = jnp.einsum("eij,ej->ei", lin.W_pp, lin.r_pp)
+    g_p += jax.ops.segment_sum(jnp.einsum("eai,ea->ei", lin.Jpp, Wr_pp),
+                               g.plane_priors.plane_idx, num_segments=p)
+    Wr_qq = jnp.einsum("eij,ej->ei", lin.W_qq, lin.r_qq)
+    g_p += jax.ops.segment_sum(jnp.einsum("eai,ea->ei", lin.Jqq_a, Wr_qq),
+                               g.plane_plane.from_idx, num_segments=p)
+    g_p += jax.ops.segment_sum(jnp.einsum("eai,ea->ei", lin.Jqq_b, Wr_qq),
+                               g.plane_plane.to_idx, num_segments=p)
     fn, fp = _free_masks(g)
     return _psum_if(g_n, axis_name) * fn, _psum_if(g_p, axis_name) * fp
 
@@ -155,6 +186,15 @@ def block_diagonal(g: PoseGraphData, lin: LinearizedGraph, axis_name=None):
     WJpp = jnp.einsum("eab,ebj->eaj", lin.W_pl, lin.Jpl_plane)
     D_p = jax.ops.segment_sum(jnp.einsum("eai,eaj->eij", lin.Jpl_plane, WJpp),
                               g.plane_edges.plane_idx, num_segments=p)
+    WJprior = jnp.einsum("eab,ebj->eaj", lin.W_pp, lin.Jpp)
+    D_p += jax.ops.segment_sum(jnp.einsum("eai,eaj->eij", lin.Jpp, WJprior),
+                               g.plane_priors.plane_idx, num_segments=p)
+    WJa = jnp.einsum("eab,ebj->eaj", lin.W_qq, lin.Jqq_a)
+    WJb = jnp.einsum("eab,ebj->eaj", lin.W_qq, lin.Jqq_b)
+    D_p += jax.ops.segment_sum(jnp.einsum("eai,eaj->eij", lin.Jqq_a, WJa),
+                               g.plane_plane.from_idx, num_segments=p)
+    D_p += jax.ops.segment_sum(jnp.einsum("eai,eaj->eij", lin.Jqq_b, WJb),
+                               g.plane_plane.to_idx, num_segments=p)
     return _psum_if(D_n, axis_name), _psum_if(D_p, axis_name)
 
 
@@ -195,6 +235,25 @@ def make_hvp(g: PoseGraphData, lin: LinearizedGraph, axis_name=None):
         out_p = jax.ops.segment_sum(
             jnp.einsum("eai,ea->ei", lin.Jpl_plane, Wupl),
             g.plane_edges.plane_idx, num_segments=p)
+        # plane priors
+        upp = jnp.einsum("eai,ei->ea", lin.Jpp,
+                         v_p[g.plane_priors.plane_idx])
+        Wupp = jnp.einsum("eab,eb->ea", lin.W_pp, upp)
+        out_p += jax.ops.segment_sum(
+            jnp.einsum("eai,ea->ei", lin.Jpp, Wupp),
+            g.plane_priors.plane_idx, num_segments=p)
+        # plane-plane
+        uqq = (jnp.einsum("eai,ei->ea", lin.Jqq_a,
+                          v_p[g.plane_plane.from_idx])
+               + jnp.einsum("eai,ei->ea", lin.Jqq_b,
+                            v_p[g.plane_plane.to_idx]))
+        Wuqq = jnp.einsum("eab,eb->ea", lin.W_qq, uqq)
+        out_p += jax.ops.segment_sum(
+            jnp.einsum("eai,ea->ei", lin.Jqq_a, Wuqq),
+            g.plane_plane.from_idx, num_segments=p)
+        out_p += jax.ops.segment_sum(
+            jnp.einsum("eai,ea->ei", lin.Jqq_b, Wuqq),
+            g.plane_plane.to_idx, num_segments=p)
         return _psum_if(out_n, axis_name) * fn, _psum_if(out_p, axis_name) * fp
 
     return hvp
@@ -290,6 +349,17 @@ def assemble_dense(g: PoseGraphData, lin: LinearizedGraph):
     H = add_block(H, pi, pli, jnp.einsum("eai,eaj->eij", lin.Jpl_pose, WJpp))
     H = add_block(H, pli, pi, jnp.einsum("eai,eaj->eij", lin.Jpl_plane, WJpl))
     H = add_block(H, pli, pli, jnp.einsum("eai,eaj->eij", lin.Jpl_plane, WJpp))
+
+    WJprior = jnp.einsum("eab,ebj->eaj", lin.W_pp, lin.Jpp)
+    ppi = idxp(g.plane_priors.plane_idx)
+    H = add_block(H, ppi, ppi, jnp.einsum("eai,eaj->eij", lin.Jpp, WJprior))
+    WJa = jnp.einsum("eab,ebj->eaj", lin.W_qq, lin.Jqq_a)
+    WJb = jnp.einsum("eab,ebj->eaj", lin.W_qq, lin.Jqq_b)
+    qa, qb = idxp(g.plane_plane.from_idx), idxp(g.plane_plane.to_idx)
+    H = add_block(H, qa, qa, jnp.einsum("eai,eaj->eij", lin.Jqq_a, WJa))
+    H = add_block(H, qa, qb, jnp.einsum("eai,eaj->eij", lin.Jqq_a, WJb))
+    H = add_block(H, qb, qa, jnp.einsum("eai,eaj->eij", lin.Jqq_b, WJa))
+    H = add_block(H, qb, qb, jnp.einsum("eai,eaj->eij", lin.Jqq_b, WJb))
 
     g_n, g_p = gradient(g, lin)
     b = -jnp.concatenate([g_n.reshape(-1), g_p.reshape(-1)])

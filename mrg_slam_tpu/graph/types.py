@@ -28,6 +28,15 @@ PRIOR_XYZ = 0
 PRIOR_QUAT = 1
 PRIOR_VEC = 2
 
+# plane-prior edge types (include/g2o/edge_plane_prior.hpp)
+PLANE_PRIOR_NORMAL = 0
+PLANE_PRIOR_DISTANCE = 1
+
+# plane-plane edge types (include/g2o/edge_plane_identity.hpp, _parallel.hpp)
+PLANE_PLANE_IDENTITY = 0
+PLANE_PLANE_PARALLEL = 1
+PLANE_PLANE_PERPENDICULAR = 2
+
 # robust kernel ids (graph/robust.py implements the rho' weights)
 KERNEL_NONE = 0
 KERNEL_HUBER = 1
@@ -124,6 +133,61 @@ class PlaneEdges(NamedTuple):
         )
 
 
+class PlanePriorEdges(NamedTuple):
+    """Unary priors on plane nodes: normal direction or distance
+    (EdgePlanePriorNormal / EdgePlanePriorDistance). 4-dim padded residual:
+    NORMAL uses dims 0-2, DISTANCE uses dim 0; the information matrix
+    carries the selection."""
+
+    plane_idx: jnp.ndarray  # (E,) i32
+    ptype: jnp.ndarray      # (E,) i32
+    meas: jnp.ndarray       # (E,4): NORMAL->[nx,ny,nz,_]; DISTANCE->[d,...]
+    info: jnp.ndarray       # (E,4,4)
+    kernel: jnp.ndarray
+    delta: jnp.ndarray
+    mask: jnp.ndarray
+
+    @staticmethod
+    def empty(capacity: int) -> "PlanePriorEdges":
+        return PlanePriorEdges(
+            plane_idx=jnp.zeros(capacity, jnp.int32),
+            ptype=jnp.zeros(capacity, jnp.int32),
+            meas=jnp.zeros((capacity, 4), jnp.float32),
+            info=jnp.zeros((capacity, 4, 4), jnp.float32),
+            kernel=jnp.zeros(capacity, jnp.int32),
+            delta=jnp.ones(capacity, jnp.float32),
+            mask=jnp.zeros(capacity, bool),
+        )
+
+
+class PlanePlaneEdges(NamedTuple):
+    """Binary plane-plane constraints (EdgePlaneIdentity / Parallel /
+    Perpendicular). 4-dim padded residual: IDENTITY uses all 4, PARALLEL
+    dims 0-2 (normal difference), PERPENDICULAR dim 0 (normal dot)."""
+
+    from_idx: jnp.ndarray  # (E,) i32 plane node
+    to_idx: jnp.ndarray    # (E,) i32 plane node
+    ptype: jnp.ndarray     # (E,) i32
+    meas: jnp.ndarray      # (E,4)
+    info: jnp.ndarray      # (E,4,4)
+    kernel: jnp.ndarray
+    delta: jnp.ndarray
+    mask: jnp.ndarray
+
+    @staticmethod
+    def empty(capacity: int) -> "PlanePlaneEdges":
+        return PlanePlaneEdges(
+            from_idx=jnp.zeros(capacity, jnp.int32),
+            to_idx=jnp.zeros(capacity, jnp.int32),
+            ptype=jnp.zeros(capacity, jnp.int32),
+            meas=jnp.zeros((capacity, 4), jnp.float32),
+            info=jnp.zeros((capacity, 4, 4), jnp.float32),
+            kernel=jnp.zeros(capacity, jnp.int32),
+            delta=jnp.ones(capacity, jnp.float32),
+            mask=jnp.zeros(capacity, bool),
+        )
+
+
 class PoseGraphData(NamedTuple):
     """The full graph state crossing the jit boundary."""
 
@@ -136,10 +200,13 @@ class PoseGraphData(NamedTuple):
     se3: SE3Edges
     priors: PriorEdges
     plane_edges: PlaneEdges
+    plane_priors: PlanePriorEdges
+    plane_plane: PlanePlaneEdges
 
     @staticmethod
     def empty(n_nodes: int, n_edges: int, n_planes: int = 4,
-              n_priors: int = 256, n_plane_edges: int = 512
+              n_priors: int = 256, n_plane_edges: int = 512,
+              n_plane_priors: int = 8, n_plane_plane: int = 8
               ) -> "PoseGraphData":
         return PoseGraphData(
             poses=jnp.tile(se3.pose_identity(), (n_nodes, 1)),
@@ -152,6 +219,8 @@ class PoseGraphData(NamedTuple):
             se3=SE3Edges.empty(n_edges),
             priors=PriorEdges.empty(n_priors),
             plane_edges=PlaneEdges.empty(n_plane_edges),
+            plane_priors=PlanePriorEdges.empty(n_plane_priors),
+            plane_plane=PlanePlaneEdges.empty(n_plane_plane),
         )
 
     @property

@@ -115,7 +115,9 @@ class GraphDatabase:
             edge = Edge(type=EDGE_ODOM, from_uuid=kf.uuid, to_uuid=prev.uuid,
                         relative_pose=rel, information=info,
                         from_readable=kf.readable_id,
-                        to_readable=prev.readable_id)
+                        to_readable=prev.readable_id,
+                        robust_kernel=self.cfg.odometry_edge_robust_kernel,
+                        robust_kernel_size=self.cfg.odometry_edge_robust_kernel_size)
             edge.edge_id = self.graph.add_se3_edge(
                 kf.node_id, prev.node_id, rel, info,
                 kernel=self.cfg.odometry_edge_robust_kernel,
@@ -261,7 +263,9 @@ class GraphDatabase:
                                                  np.float32),
                         information=info,
                         from_readable=loop.key1.readable_id,
-                        to_readable=loop.key2.readable_id)
+                        to_readable=loop.key2.readable_id,
+                        robust_kernel=self.cfg.loop.loop_closure_edge_robust_kernel,
+                        robust_kernel_size=self.cfg.loop.loop_closure_edge_robust_kernel_size)
             edge.edge_id = self.graph.add_se3_edge(
                 loop.key1.node_id, loop.key2.node_id, edge.relative_pose,
                 info, kernel=self.cfg.loop.loop_closure_edge_robust_kernel,

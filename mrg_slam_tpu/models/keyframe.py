@@ -64,6 +64,8 @@ class Edge:
     edge_id: Optional[int] = None    # index in the GraphSLAM se3 table
     from_readable: str = ""
     to_readable: str = ""
+    robust_kernel: str = "NONE"      # persisted like robust_kernel_io.cpp
+    robust_kernel_size: float = 1.0
 
     @property
     def readable_id(self) -> str:

@@ -69,9 +69,25 @@ def save_graph(slam: MrgSlam, directory: str) -> int:
                     f"from_uuid_str {e.from_uuid}\n"
                     f"to_uuid_str {e.to_uuid}\n"
                     f"relative_pose {_fmt_pose(e.relative_pose)}\n"
-                    f"information {_fmt_pose(e.information)}\n")
+                    f"information {_fmt_pose(e.information)}\n"
+                    f"robust_kernel {e.robust_kernel}\n"
+                    f"robust_kernel_size {e.robust_kernel_size:.9f}\n")
 
     _save_g2o(db, d / "graph.g2o")
+    # robust kernels sidecar (robust_kernel_io.cpp semantics: kernel name +
+    # delta per edge, matched by vertex ids)
+    uuid_to_node = {k.uuid: k.node_id
+                    for k in db.keyframes + db.new_keyframes
+                    if k.node_id is not None}
+    with open(d / "graph.g2o.kernels", "w") as f:
+        for e in db.edges:
+            if e.robust_kernel == "NONE":
+                continue
+            a = uuid_to_node.get(e.from_uuid)
+            b = uuid_to_node.get(e.to_uuid)
+            if a is None or b is None:
+                continue
+            f.write(f"{a} {b} {e.robust_kernel} {e.robust_kernel_size}\n")
 
     with open(d / "special_nodes.csv", "w") as f:
         anchor_node = (db.anchor_kf.node_id if db.anchor_kf else -1)

@@ -51,7 +51,9 @@ def _edge_sharded_specs(mesh: Mesh) -> PoseGraphData:
         poses=rep, node_mask=rep, node_fixed=rep,
         planes=rep, plane_mask=rep, plane_fixed=rep,
         se3=table_spec(g.se3), priors=table_spec(g.priors),
-        plane_edges=table_spec(g.plane_edges))
+        plane_edges=table_spec(g.plane_edges),
+        plane_priors=table_spec(g.plane_priors),
+        plane_plane=table_spec(g.plane_plane))
 
 
 def pad_edges_to(g: PoseGraphData, multiple: int) -> PoseGraphData:
@@ -70,7 +72,9 @@ def pad_edges_to(g: PoseGraphData, multiple: int) -> PoseGraphData:
         return type(t)(*[padfield(f) for f in t])
 
     return g._replace(se3=pad_table(g.se3), priors=pad_table(g.priors),
-                      plane_edges=pad_table(g.plane_edges))
+                      plane_edges=pad_table(g.plane_edges),
+                      plane_priors=pad_table(g.plane_priors),
+                      plane_plane=pad_table(g.plane_plane))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
