@@ -25,6 +25,32 @@ def _replace_from_dict(obj, d: dict):
 
 
 @dataclass(frozen=True)
+class StaticTransformConfig:
+    """lidar2base_publisher section (mrg_slam.yaml:10-22): the static
+    sensor->base_link transform applied during prefiltering."""
+
+    enable_lidar2base_publisher: bool = True
+    x: float = 0.0
+    y: float = 0.0
+    z: float = 0.0
+    roll: float = 0.0
+    pitch: float = 0.0
+    yaw: float = 0.0
+
+    def pose7(self):
+        import numpy as np
+
+        from .utils import se3
+        import jax.numpy as jnp
+
+        q = np.asarray(se3.rpy_to_quat(jnp.float32(self.roll),
+                                       jnp.float32(self.pitch),
+                                       jnp.float32(self.yaw)))
+        return np.concatenate(
+            [np.asarray([self.x, self.y, self.z], np.float32), q])
+
+
+@dataclass(frozen=True)
 class PrefilterConfig:
     """Mirrors prefiltering_component params (mrg_slam.yaml:41-72)."""
 
@@ -246,6 +272,8 @@ class EngineConfig:
     """Top-level config bundle for one robot's SLAM engine."""
 
     model_namespace: str = "atlas"
+    lidar2base: StaticTransformConfig = field(
+        default_factory=StaticTransformConfig)
     prefilter: PrefilterConfig = field(default_factory=PrefilterConfig)
     odometry: ScanMatchingOdometryConfig = field(
         default_factory=ScanMatchingOdometryConfig)
@@ -267,6 +295,7 @@ class EngineConfig:
             return sec.get("ros__parameters", sec)
 
         cfg = EngineConfig()
+        l2b = _replace_from_dict(cfg.lidar2base, params("lidar2base_publisher"))
         pre = _replace_from_dict(cfg.prefilter, params("prefiltering_component"))
         odo_p = params("scan_matching_odometry_component")
         odo = _replace_from_dict(cfg.odometry, odo_p)
@@ -293,5 +322,5 @@ class EngineConfig:
             exchange=_replace_from_dict(cfg.slam.exchange, slam_p),
         )
         ns = params("/**").get("model_namespace", "atlas")
-        return EngineConfig(model_namespace=ns, prefilter=pre, odometry=odo,
-                            floor=flo, slam=slam)
+        return EngineConfig(model_namespace=ns, lidar2base=l2b,
+                            prefilter=pre, odometry=odo, floor=flo, slam=slam)

@@ -313,6 +313,65 @@ class MrgSlam:
         return msg
 
     # ------------------------------------------------------------------
+    # service-equivalents (apps/mrg_slam_component.cpp:184-217)
+    # ------------------------------------------------------------------
+    def set_init_pose(self, pose7: np.ndarray) -> None:
+        """Runtime initial-pose override (init_pose_topic / init_odom_topic
+        paths of :458-515); only effective before the first keyframe."""
+        if self._init_done:
+            return
+        self.init_pose = np.asarray(pose7, np.float32)
+
+    def get_graph_uuids(self) -> Tuple[List[str], List[str]]:
+        """GetGraphUuids service: all keyframe and edge uuids."""
+        return (list(self.db.uuid_keyframe_map.keys()),
+                sorted(self.db.edge_uuids))
+
+    def request_graphs(self, robot_names: List[str], now: float,
+                       request_fn: Callable) -> int:
+        """RequestGraphs service (:1249): pull delta graphs from the named
+        peers unconditionally (used when joining late)."""
+        n = 0
+        for name in robot_names:
+            if name == self.own_name:
+                continue
+            req = PublishGraphRequest(
+                robot_name=self.own_name,
+                processed_keyframe_uuids=set(self.db.uuid_keyframe_map),
+                processed_edge_uuids=set(self.db.edge_uuids))
+            graph = request_fn(name, req)
+            if graph is not None:
+                self.received_graph_bytes.append(graph.nbytes())
+                self.db.add_graph_msg(graph)
+                self.others_last_exchange_time[name] = now
+                n += 1
+        return n
+
+    def save_map(self, file_path: str, resolution: Optional[float] = None,
+                 min_points_per_voxel: Optional[int] = None,
+                 distance_far_thresh: Optional[float] = None,
+                 skip_first_cloud: bool = True) -> int:
+        """SaveMap service (:1078-1098): assemble + write the map PCD with
+        per-call overrides of the map generator parameters."""
+        from ..io.pcd import save_pcd
+        from .map_cloud import MapCloudGenerator
+
+        gen = MapCloudGenerator(
+            resolution or self.cfg.map_cloud_resolution,
+            min_points_per_voxel or self.cfg.map_cloud_min_points_per_voxel,
+            distance_far_thresh or self.cfg.map_cloud_distance_far_thresh)
+        kfs = [k for k in self.db.keyframes + self.db.new_keyframes
+               if k.node_id is not None and k.odom_counter >= 0]
+        if not kfs:
+            return 0
+        poses = np.stack([k.estimate(self.db.graph) for k in kfs])
+        pts = gen.generate([k.cloud for k in kfs], poses,
+                           skip_first=skip_first_cloud,
+                           first_flags=[k.first_keyframe for k in kfs])
+        save_pcd(file_path, pts)
+        return len(pts)
+
+    # ------------------------------------------------------------------
     # outputs
     # ------------------------------------------------------------------
     def slam_pose_broadcast(self, stamp: float) -> Optional[PoseWithName]:

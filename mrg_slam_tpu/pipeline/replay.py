@@ -34,6 +34,9 @@ class Robot:
 
     def __init__(self, cfg: EngineConfig):
         self.cfg = cfg
+        self._base_tf = (cfg.lidar2base.pose7()
+                         if cfg.lidar2base.enable_lidar2base_publisher
+                         else None)
         self.odometry = ScanMatchingOdometry(cfg.odometry)
         self.slam = MrgSlam(cfg.slam)
         self.floor = (FloorDetection(cfg.floor)
@@ -44,7 +47,8 @@ class Robot:
     def step(self, stamp: float, scan: np.ndarray):
         pc = PointCloud.from_array(
             scan, capacity=self.cfg.prefilter.capacity_raw_points)
-        filtered = prefilter(pc, self.cfg.prefilter)
+        filtered = prefilter(pc, self.cfg.prefilter,
+                             base_transform=self._base_tf)
         if self.floor is not None:
             fc = self.floor.detect(filtered, stamp)
             if fc is not None:
