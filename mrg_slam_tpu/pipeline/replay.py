@@ -44,11 +44,32 @@ class Robot:
         self.est_poses: List[np.ndarray] = []
         self.stamps: List[float] = []
 
+    def add_imu(self, stamp: float, ang_vel, acc, quat) -> None:
+        """Feed an IMU sample: used for deskewing (latest angular velocity,
+        prefiltering_component.cpp:231) and for orientation/gravity prior
+        edges (models/processors.ImuProcessor)."""
+        from ..models.processors import ImuSample
+
+        self._last_ang_vel = np.asarray(ang_vel, np.float32)
+        self.slam.imu_processor.add_sample(ImuSample(
+            stamp=stamp, quat=np.asarray(quat, np.float32),
+            acc=np.asarray(acc, np.float32)))
+
     def step(self, stamp: float, scan: np.ndarray):
         pc = PointCloud.from_array(
             scan, capacity=self.cfg.prefilter.capacity_raw_points)
+        ang_vel = getattr(self, "_last_ang_vel", None)
+        frac = None
+        if self.cfg.prefilter.enable_deskewing and ang_vel is not None:
+            # no per-point stamps in KITTI bins / synthetic scans: assume a
+            # uniform sweep over the scan period (rotating LiDAR)
+            import jax.numpy as jnp
+
+            frac = jnp.linspace(0.0, 1.0, pc.capacity)
+            ang_vel = jnp.asarray(ang_vel)
         filtered = prefilter(pc, self.cfg.prefilter,
-                             base_transform=self._base_tf)
+                             base_transform=self._base_tf,
+                             ang_vel=ang_vel, point_time_frac=frac)
         if self.floor is not None:
             fc = self.floor.detect(filtered, stamp)
             if fc is not None:

@@ -107,3 +107,25 @@ def test_stage_timer(tmp_path):
     assert s["a"]["count"] == 2
     t.dump(tmp_path / "timing.txt")
     assert "a count 2" in (tmp_path / "timing.txt").read_text()
+
+
+def test_imu_deskew_hookup():
+    """Robot.add_imu feeds deskew (prefilter) and the IMU processor."""
+    import dataclasses as dc
+    from mrg_slam_tpu.pipeline.replay import Robot
+
+    cfg = small_cfg()
+    cfg = dc.replace(cfg, prefilter=dc.replace(cfg.prefilter,
+                                               enable_deskewing=True),
+                     slam=dc.replace(cfg.slam, imu=dc.replace(
+                         cfg.slam.imu, enable_imu_orientation=True)))
+    robot = Robot(cfg)
+    rng = np.random.default_rng(1)
+    for i in range(3):
+        robot.add_imu(i * 0.1, ang_vel=[0.0, 0.0, 0.3],
+                      acc=[0, 0, 9.81], quat=[1, 0, 0, 0])
+        robot.step(i * 0.1, rng.normal(scale=5.0,
+                                       size=(512, 3)).astype(np.float32))
+    robot.slam.optimization_tick(now=0.3)
+    # IMU orientation priors attached to the flushed keyframes
+    assert len(robot.slam.db.graph._priors) >= 1
