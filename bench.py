@@ -54,8 +54,8 @@ def main():
         keyframe_delta_translation=1.0,
         registration=RegistrationConfig(
             registration_method="SMALL_GICP",
-            reg_maximum_iterations=24,
-            reg_transformation_epsilon=1e-3,
+            reg_maximum_iterations=12,
+            reg_transformation_epsilon=1e-2,
             reg_covariance_mode="radius", reg_covariance_radius=0.6,
             reg_max_correspondence_distance=2.0))
 

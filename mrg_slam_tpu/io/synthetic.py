@@ -30,16 +30,19 @@ class SyntheticWorld:
     def build(seed: int = 0, extent: float = 60.0, n_ground: int = 60000,
               n_pillars: int = 40, n_walls: int = 12,
               max_range: float = 35.0, noise: float = 0.01,
-              max_points_per_scan: int = 8192) -> "SyntheticWorld":
+              max_points_per_scan: int = 8192,
+              flat_ground: bool = False) -> "SyntheticWorld":
         rng = np.random.default_rng(seed)
         pts: List[np.ndarray] = []
-        # ground with gentle height variation
+        # ground: gently undulating by default, exactly planar for
+        # floor-constraint scenarios (flat_ground=True)
         g = np.stack([
             rng.uniform(-extent, extent, n_ground),
             rng.uniform(-extent, extent, n_ground),
             np.zeros(n_ground),
         ], axis=1)
-        g[:, 2] = 0.05 * np.sin(g[:, 0] * 0.15) * np.cos(g[:, 1] * 0.11)
+        if not flat_ground:
+            g[:, 2] = 0.05 * np.sin(g[:, 0] * 0.15) * np.cos(g[:, 1] * 0.11)
         pts.append(g)
         # pillars (vertical cylinders)
         for _ in range(n_pillars):

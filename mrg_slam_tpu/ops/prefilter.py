@@ -91,8 +91,11 @@ def prefilter(cloud: PointCloud, cfg: PrefilterConfig,
     else:
         cloud = compact(cloud, cfg.capacity_filtered_points)
     if cfg.outlier_removal_method == "RADIUS":
-        mask = voxel.approximate_radius_mask(
-            cloud, cfg.radius_radius, cfg.radius_min_neighbors)
+        # exact pcl::RadiusOutlierRemoval semantics; the Pallas accumulation
+        # kernel makes the exact count cheaper on TPU than the voxel-bucket
+        # approximation (which leans on searchsorted gathers)
+        counts = knn.radius_count(cloud.points, cloud.mask, cfg.radius_radius)
+        mask = cloud.mask & (counts >= cfg.radius_min_neighbors)
         cloud = PointCloud(
             jnp.where(mask[:, None], cloud.points, PAD_VALUE), mask)
     elif cfg.outlier_removal_method == "STATISTICAL":

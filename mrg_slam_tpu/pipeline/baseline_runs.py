@@ -1,0 +1,244 @@
+"""BASELINE.md acceptance configs on the synthetic world.
+
+The reference's numbers must be *generated* (it publishes none, BASELINE.md)
+and this container carries no KITTI/Nebula data, so the five acceptance
+configurations run against the synthetic world instead — same pipeline
+shapes, real loop closures, ground truth for ATE:
+
+  1. odometry-only (prefilter + GICP)
+  2. full single-robot graph SLAM (keyframes + loops + optimization)
+  3. floor-augmented SLAM (RANSAC ground plane + EdgeSE3Plane)
+  4. two-robot exchange + joint solve
+  5. distributed pose-graph solve on an N-device mesh (chi2 parity with
+     the single-device solver)
+
+`python -m mrg_slam_tpu.pipeline.baseline_runs [out.json]` writes the
+results; BASELINE_SYNTH.json in the repo root records a reference run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+from typing import Dict
+
+import numpy as np
+
+
+def _base_cfg():
+    from ..config import (EngineConfig, LoopClosureConfig, OptimizerConfig,
+                          PrefilterConfig, RegistrationConfig,
+                          ScanMatchingOdometryConfig, SlamConfig)
+
+    reg = RegistrationConfig(reg_transformation_epsilon=1e-3,
+                             reg_maximum_iterations=32,
+                             reg_correspondence_randomness=10,
+                             reg_covariance_radius=1.0)
+    return EngineConfig(
+        prefilter=PrefilterConfig(downsample_resolution=0.4,
+                                  capacity_raw_points=8192,
+                                  capacity_filtered_points=1024,
+                                  outlier_removal_method="NONE"),
+        odometry=ScanMatchingOdometryConfig(keyframe_delta_translation=2.0,
+                                            registration=reg),
+        slam=SlamConfig(keyframe_delta_trans=2.0, capacity_keyframes=128,
+                        capacity_edges=512, capacity_keyframe_points=1024,
+                        registration=reg,
+                        optimizer=OptimizerConfig(solver_backend="dense",
+                                                  g2o_solver_num_iterations=64),
+                        loop=dataclasses.replace(LoopClosureConfig(),
+                                                 capacity_candidates=4),
+                        robot_remove_points_radius=0.0))
+
+
+def _world(seed=21, flat_ground=False):
+    from ..io.synthetic import SyntheticWorld
+
+    return SyntheticWorld.build(seed=seed, extent=35.0, n_ground=30000,
+                                n_pillars=30, n_walls=12,
+                                max_points_per_scan=8192, noise=0.02,
+                                flat_ground=flat_ground)
+
+
+def config1_odometry_only(n_frames=120) -> Dict:
+    from ..io.synthetic import circle_trajectory
+    from ..models.odometry import ScanMatchingOdometry
+    from ..ops.cloud import PointCloud
+    from ..ops.prefilter import prefilter
+    from ..utils.metrics import ate_rmse, rpe_rmse
+
+    cfg = _base_cfg()
+    world = _world()
+    traj = circle_trajectory(n_frames, radius=14.0, laps=1.1)
+    odom = ScanMatchingOdometry(cfg.odometry)
+    est = []
+    t0 = time.perf_counter()
+    for i, p in enumerate(traj):
+        pc = prefilter(PointCloud.from_array(world.scan(p, seed=i),
+                                             capacity=8192), cfg.prefilter)
+        est.append(odom.step(pc, stamp=i * 0.1).pose)
+    wall = time.perf_counter() - t0
+    est = np.stack(est)
+    return {"config": "1_odometry_only",
+            "ate_rmse": ate_rmse(est[:, :3], traj[:, :3]),
+            "rpe_rmse": rpe_rmse(est[:, :3], traj[:, :3]),
+            "frames": n_frames, "frames_per_s": n_frames / wall}
+
+
+def config2_full_slam(n_frames=120) -> Dict:
+    from ..io.synthetic import circle_trajectory
+    from .replay import Robot, replay
+
+    cfg = _base_cfg()
+    world = _world()
+    traj = circle_trajectory(n_frames, radius=14.0, laps=1.25)
+    frames = [(i * 0.1, world.scan(p, seed=i)) for i, p in enumerate(traj)]
+    res = replay(Robot(cfg), frames, tick_every=20, gt_xyz=traj[:, :3])
+    return {"config": "2_full_graph_slam", "ate_rmse": res.ate,
+            "rpe_rmse": res.rpe, "loops": res.num_loops,
+            "frames": n_frames, "frames_per_s": res.frames_per_s}
+
+
+def config3_floor_augmented(n_frames=100) -> Dict:
+    from ..io.synthetic import circle_trajectory
+    from .replay import Robot, replay
+
+    cfg = _base_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        floor=dataclasses.replace(cfg.floor, enable_floor_detection=True,
+                                  sensor_height=1.5, height_clip_range=1.0,
+                                  floor_pts_thresh=150),
+        slam=dataclasses.replace(cfg.slam, floor_coeffs=dataclasses.replace(
+            cfg.slam.floor_coeffs, enable_floor_coeffs=True)))
+    world = _world(flat_ground=True)
+    traj = circle_trajectory(n_frames, radius=12.0, laps=1.1)
+    frames = [(i * 0.1, world.scan(p, seed=i)) for i, p in enumerate(traj)]
+    robot = Robot(cfg)
+    res = replay(robot, frames, tick_every=20, gt_xyz=traj[:, :3])
+    n_plane_edges = len(robot.slam.db.graph._pl_edges)
+    return {"config": "3_floor_augmented", "ate_rmse": res.ate,
+            "plane_edges": n_plane_edges, "loops": res.num_loops,
+            "frames": n_frames, "frames_per_s": res.frames_per_s}
+
+
+def config4_two_robot(n_frames=100) -> Dict:
+    from ..io.synthetic import circle_trajectory
+    from .multirobot_split import run_multirobot_split
+
+    cfg = _base_cfg()
+    world = _world()
+    traj = circle_trajectory(n_frames, radius=14.0, laps=1.0)
+    frames = [(i * 0.1, world.scan(p, seed=i)) for i, p in enumerate(traj)]
+
+    def ip(p):
+        yaw = 2.0 * np.arctan2(p[6], p[3])
+        return (float(p[0]), float(p[1]), float(p[2]), float(yaw), 0.0, 0.0)
+
+    # finite fitness range keeps partially-overlapping candidate pairs
+    # comparable (reference param fitness_score_max_range); faster exchange
+    # cadence so merges land while the overlap region is still fresh
+    cfg = dataclasses.replace(cfg, slam=dataclasses.replace(
+        cfg.slam,
+        loop=dataclasses.replace(cfg.slam.loop,
+                                 fitness_score_max_range=2.0),
+        exchange=dataclasses.replace(cfg.slam.exchange,
+                                     graph_request_min_time_delay=0.5,
+                                     graph_request_min_accum_dist=1.0)))
+    start_b = int(n_frames / 2 * (1 - 0.3))
+    results = run_multirobot_split(
+        cfg, frames, ["atlas", "bestla"],
+        init_poses={"atlas": ip(traj[0]), "bestla": ip(traj[start_b])},
+        overlap_fraction=0.3, tick_every=8)
+    from ..utils.metrics import ate_rmse
+
+    # Evaluate the optimized keyframe trajectories against ground truth at
+    # keyframe stamps (the reference evaluates dumped graphs, not live
+    # per-frame poses that can predate a late graph merge).
+    ates = {}
+    offsets = {"atlas": 0, "bestla": start_b}
+    for name, res in results.items():
+        kf = res.keyframe_trajectory
+        if not len(kf):
+            ates[name] = None
+            continue
+        # keyframe stamps are i*0.1 within the robot's own window
+        n = len(kf)
+        gt_idx = [min(offsets[name] + j, n_frames - 1)
+                  for j in np.linspace(0, len(res.trajectory) - 1,
+                                       n).astype(int)]
+        ates[name] = ate_rmse(kf[:, :3], traj[gt_idx][:, :3])
+    return {"config": "4_two_robot_exchange", "ate_rmse": ates,
+            "loops": {n: r.num_loops for n, r in results.items()},
+            "frames": n_frames}
+
+
+def config5_distributed(n_nodes=256, n_devices=8) -> Dict:
+    import jax
+
+    if len(jax.devices()) < n_devices:
+        jax.config.update("jax_platforms", "cpu")
+    from ..config import OptimizerConfig
+    from ..graph import solve
+    from ..graph.builder import GraphSLAM
+    from ..parallel import dist_solver
+    from ..utils import se3
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    info = np.diag([100.0] * 3 + [400.0] * 3).astype(np.float32)
+    gs = GraphSLAM(OptimizerConfig(solver_backend="cg"),
+                   capacity_nodes=max(n_nodes, 64) , capacity_edges=2 * n_nodes)
+    gt, est, ids = [], [], []
+    for i in range(n_nodes):
+        th = 2 * np.pi * i / n_nodes
+        gt.append(np.asarray(se3.pose_exp(jnp.asarray(
+            [20 * np.cos(th), 20 * np.sin(th), 0, 0, 0, th],
+            dtype=jnp.float32))))
+    est.append(gt[0])
+    ids.append(gs.add_se3_node(gt[0], fixed=True))
+    for i in range(1, n_nodes):
+        rel = np.asarray(se3.pose_between(jnp.asarray(gt[i - 1]),
+                                          jnp.asarray(gt[i])))
+        noise = np.asarray(se3.pose_exp(jnp.asarray(
+            rng.normal(scale=0.03, size=6).astype(np.float32))))
+        reln = np.asarray(se3.pose_compose(jnp.asarray(rel),
+                                           jnp.asarray(noise)))
+        est.append(np.asarray(se3.pose_compose(jnp.asarray(est[-1]),
+                                               jnp.asarray(reln))))
+        ids.append(gs.add_se3_node(est[-1]))
+        gs.add_se3_edge(ids[i - 1], ids[i], reln, info)
+    gs.add_se3_edge(ids[-1], ids[0], np.asarray(se3.pose_between(
+        jnp.asarray(gt[-1]), jnp.asarray(gt[0]))), info * 4)
+    g = gs.snapshot()
+    cfg = OptimizerConfig(solver_backend="cg", g2o_solver_num_iterations=40)
+    single = solve.optimize(g, cfg)
+    mesh = dist_solver.make_mesh(n_devices)
+    dist = dist_solver.optimize_distributed(
+        dist_solver.shard_graph_inputs(g, mesh), cfg, mesh)
+    dp = np.asarray(dist.poses)[:n_nodes, :3]
+    sp = np.asarray(single.poses)[:n_nodes, :3]
+    return {"config": "5_distributed_mesh_solve",
+            "devices": n_devices, "nodes": n_nodes,
+            "chi2_single": float(single.chi2_final),
+            "chi2_distributed": float(dist.chi2_final),
+            "max_pose_divergence_m": float(np.abs(dp - sp).max())}
+
+
+def main(out_path: str = "BASELINE_SYNTH.json") -> Dict:
+    results = [config1_odometry_only(), config2_full_slam(),
+               config3_floor_augmented(), config4_two_robot(),
+               config5_distributed()]
+    payload = {"note": "synthetic-world acceptance runs (no datasets in "
+                       "container); see BASELINE.md / pipeline/baseline_runs.py",
+               "results": results}
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=2, default=float)
+    print(json.dumps(payload, indent=2, default=float))
+    return payload
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "BASELINE_SYNTH.json")
