@@ -14,8 +14,9 @@ does not reproduce: one flag, used consistently.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -51,14 +52,6 @@ class FloorDetection:
             return None
         return FloorCoeffs(stamp=stamp,
                            coeffs=np.asarray(coeffs, np.float32))
-
-
-@dataclasses.dataclass(frozen=True)
-class _StaticArgs:
-    pass
-
-
-import functools
 
 
 @functools.partial(jax.jit, static_argnames=(

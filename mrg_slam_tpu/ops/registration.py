@@ -112,6 +112,13 @@ def _correspondences(method: str, params: RegistrationConfig,
         d2, idx, valid = knn.nn_within(
             p_world, src_mask, tg.points, tg.mask,
             params.reg_max_correspondence_distance)
+        if params.reg_use_reciprocal_correspondences:
+            # keep only mutual nearest neighbours
+            # (pcl setUseReciprocalCorrespondences semantics)
+            _, idx_back = knn.nearest_neighbor(tg.points, p_world, src_mask)
+            mutual = idx_back[idx] == jnp.arange(p_world.shape[0],
+                                                 dtype=jnp.int32)
+            valid = valid & mutual
         return tg.points[idx], tg.covs[idx], valid
     vox = target.voxels
     idx, found = lookup(vox, p_world, src_mask, params.reg_resolution,

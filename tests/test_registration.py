@@ -138,3 +138,19 @@ def test_fitness_and_inliers(rng):
     shift = se3.make_pose(jnp.asarray([0.5, 0.0, 0.0]), se3.quat_identity())
     f2 = float(fitness_score(pc, pc, shift))
     assert f2 > 1e-3
+
+
+def test_reciprocal_correspondences(rng):
+    pts = structured_scene(rng, n=600)
+    gt = true_pose()
+    src_pts = np.asarray(se3.pose_apply(se3.pose_inverse(gt), jnp.asarray(pts)))
+    params = RegistrationConfig(registration_method="SMALL_GICP",
+                                reg_transformation_epsilon=1e-4,
+                                reg_use_reciprocal_correspondences=True)
+    res = reg.align_clouds(params, PointCloud.from_array(src_pts, 1024),
+                           PointCloud.from_array(pts, 1024),
+                           se3.pose_identity())
+    gt_np = np.asarray(gt)
+    assert np.linalg.norm(np.asarray(res.pose)[:3] - gt_np[:3]) < 0.05
+    # mutual gating discards some correspondences but keeps most
+    assert 200 < int(res.num_inliers) <= 600
