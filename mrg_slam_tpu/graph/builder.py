@@ -9,13 +9,12 @@ ints; uuid bookkeeping lives a level up in models/graph_database.py.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import OptimizerConfig
-from ..utils import se3
 from . import solve
 from .types import (KERNEL_IDS, PLANE_PLANE_IDENTITY, PLANE_PLANE_PARALLEL,
                     PLANE_PLANE_PERPENDICULAR, PLANE_PRIOR_DISTANCE,

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..utils import se3
 from .types import (PLANE_PLANE_IDENTITY, PLANE_PLANE_PARALLEL,
-                    PLANE_PLANE_PERPENDICULAR, PLANE_PRIOR_DISTANCE,
+                    PLANE_PLANE_PERPENDICULAR,
                     PLANE_PRIOR_NORMAL, PRIOR_QUAT, PRIOR_VEC, PRIOR_XYZ,
                     PlaneEdges, PlanePlaneEdges, PlanePriorEdges,
                     PriorEdges, SE3Edges, plane_basis, plane_retract)

@@ -16,7 +16,7 @@ from __future__ import annotations
 import dataclasses
 import sqlite3
 import struct
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Dict, Iterator, List, Tuple
 
 import numpy as np
 

@@ -12,7 +12,7 @@ structure, so loop closure is exercised for real.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List
 
 import numpy as np
 

@@ -114,7 +114,7 @@ def main(argv=None):
                     tum_path=str(out_dir / "trajectory_tum.txt"))
 
     from .io.pcd import save_pcd
-    from .models.markers import export_ply, graph_summary
+    from .models.markers import export_ply
     from .models.persistence import save_graph
 
     map_pts = robot.slam.generate_map()

@@ -19,7 +19,6 @@ SlamStatus like the reference's dataset processors do.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
 from typing import Callable, Dict, List, Optional, Tuple
 
@@ -30,8 +29,8 @@ import numpy as np
 from ..config import SlamConfig
 from ..ops.cloud import PAD_VALUE, PointCloud
 from ..utils import se3
-from .graph_database import GraphDatabase, Loop
-from .keyframe import EDGE_ANCHOR, KeyFrame
+from .graph_database import GraphDatabase
+from .keyframe import EDGE_ANCHOR
 from .keyframe_updater import KeyframeUpdater
 from .loop_detector import LoopDetector
 from .map_cloud import MapCloudGenerator

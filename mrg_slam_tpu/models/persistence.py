@@ -17,7 +17,6 @@ multi-session mapping: previously saved graphs join as additional chains.
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import List, Optional
 
@@ -27,7 +26,7 @@ from ..io.pcd import load_pcd, save_pcd
 from ..ops.cloud import PointCloud
 from ..parallel.messages import EdgeMsg, GraphMsg, KeyFrameMsg
 from .backend import MrgSlam
-from .keyframe import EDGE_ANCHOR, Edge, KeyFrame
+from .keyframe import EDGE_ANCHOR
 
 
 def _fmt_pose(p: np.ndarray) -> str:

@@ -10,8 +10,6 @@ then sample concentric rings at the map resolution (`fill_cloud` :51-66).
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

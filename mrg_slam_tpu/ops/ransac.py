@@ -13,7 +13,7 @@ Plane convention: (n, d) with n unit and n.x + d = 0.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -29,9 +29,8 @@ Jacobian convention (right perturbation, T <- T * exp(xi), xi = [rho, theta]):
 
 from __future__ import annotations
 
-import dataclasses
 import functools
-from typing import NamedTuple, Optional, Tuple, Union
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

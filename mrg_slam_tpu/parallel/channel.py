@@ -10,7 +10,6 @@ dense float32).
 from __future__ import annotations
 
 import pickle
-import queue
 import socket
 import struct
 import threading

@@ -15,7 +15,6 @@ Usage:
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Optional
 
@@ -27,7 +26,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import OptimizerConfig
 from ..graph import solve
 from ..graph.types import PoseGraphData
-from ..utils import se3
 
 AXIS = "edges"
 

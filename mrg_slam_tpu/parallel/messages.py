@@ -10,7 +10,7 @@ picklable across processes/hosts.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional
+from typing import List
 
 import numpy as np
 

@@ -6,7 +6,7 @@ reference uses as its acceptance metric (generate_evo_results.sh:22-38).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

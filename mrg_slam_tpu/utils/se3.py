@@ -21,7 +21,6 @@ Taylor-switched forms with `jnp.where` on safe inputs, so autodiff through
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 # Small-angle threshold under which Taylor expansions are used. Chosen for
