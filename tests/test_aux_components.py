@@ -101,3 +101,50 @@ def test_markers_and_g2o_tools(tmp_path, rng):
     save_tum(tmp_path / "gt.tum", np.arange(len(poses)) * 0.1, poses)
     res = evaluate_tum(tmp_path / "est.tum", tmp_path / "gt.tum")
     assert res.ate_rmse < 1e-4
+
+
+def test_graph_exchange_over_sockets(rng):
+    """Full delta-graph exchange through the TCP channel: robot B serves
+    publish_graph behind a SocketServer; robot A pulls through a client."""
+    import dataclasses
+    from mrg_slam_tpu.config import OptimizerConfig, SlamConfig
+    from mrg_slam_tpu.models.backend import MrgSlam
+
+    def mk(name):
+        return MrgSlam(SlamConfig(
+            own_name=name, multi_robot_names=("alpha", "beta"),
+            capacity_keyframes=32, capacity_edges=64,
+            capacity_keyframe_points=64,
+            optimizer=OptimizerConfig(solver_backend="dense"),
+            exchange=dataclasses.replace(
+                SlamConfig().exchange, graph_request_min_time_delay=0.0,
+                graph_request_min_accum_dist=0.0)))
+
+    a, b = mk("alpha"), mk("beta")
+    for i in range(4):
+        cloud = PointCloud.from_array(
+            rng.normal(size=(32, 3)).astype(np.float32), capacity=64)
+        pose = np.asarray([i * 2.0, 0, 0, 1, 0, 0, 0], np.float32)
+        a.process_scan(i * 0.5, pose, cloud)
+        b.process_scan(i * 0.5, pose + np.asarray([0, 1, 0, 0, 0, 0, 0],
+                                                  np.float32), cloud)
+    a.optimization_tick(now=2.0)
+    b.optimization_tick(now=2.0)
+
+    srv = SocketServer()
+    srv.advertise("publish_graph", b.handle_publish_graph)
+    cli = SocketClient(srv.address, timeout=10.0)
+
+    def request_fn(peer_name, req):
+        return cli.call("publish_graph", req)
+
+    sp = b.slam_pose_broadcast(2.0)
+    assert sp is not None
+    did = a.on_slam_pose_broadcast(sp, now=2.0, request_fn=request_fn)
+    assert did, "exchange did not trigger"
+    a.optimization_tick(now=3.0)
+    merged = [k for k in a.db.keyframes + a.db.new_keyframes
+              if k.robot_name == "beta"]
+    assert len(merged) >= 3
+    cli.close()
+    srv.close()
