@@ -142,7 +142,12 @@ class LoopClosureConfig:
     candidate_max_xy_distance: float = 15.0
     accum_distance_thresh_same_robot: float = 15.0
     accum_distance_thresh_other_robot: float = 5.0
-    fitness_score_max_range: float = math.inf
+    # Reference default is inf (config/mrg_slam.yaml:172). Under this
+    # framework's fixed-capacity clouds, capacity overflow keeps a random
+    # voxel subset per keyframe, so unbounded-range fitness punishes true
+    # overlaps by meters; a finite gate restores comparability. Set to inf
+    # to reproduce the reference behavior exactly.
+    fitness_score_max_range: float = 2.0
     fitness_score_thresh: float = 1.25
     use_planar_registration_guess: bool = False
     loop_closure_edge_robust_kernel: str = "Huber"

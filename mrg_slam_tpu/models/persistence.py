@@ -166,8 +166,8 @@ def load_graph(slam: MrgSlam, directory: str,
             first_keyframe=bool(int(meta["first_keyframe"])),
             static_keyframe=bool(int(meta["static_keyframe"])),
             accum_distance=float(meta["accum_distance"]),
-            estimate=np.fromstring(meta["estimate"], sep=" ",
-                                   dtype=np.float32),
+            estimate=np.asarray([float(v) for v in
+                                 meta["estimate"].split()], np.float32),
             cloud=PointCloud.from_array(pts, capacity=cap)))
     emsgs: List[EdgeMsg] = []
     edges_dir = d / "edges"
@@ -183,10 +183,12 @@ def load_graph(slam: MrgSlam, directory: str,
                 type=meta["type"], uuid=meta["uuid_str"],
                 from_uuid=meta["from_uuid_str"],
                 to_uuid=meta["to_uuid_str"],
-                relative_pose=np.fromstring(meta["relative_pose"], sep=" ",
-                                            dtype=np.float32),
-                information=np.fromstring(meta["information"], sep=" ",
-                                          dtype=np.float32).reshape(6, 6)))
+                relative_pose=np.asarray(
+                    [float(v) for v in meta["relative_pose"].split()],
+                    np.float32),
+                information=np.asarray(
+                    [float(v) for v in meta["information"].split()],
+                    np.float32).reshape(6, 6)))
     if kmsgs:
         latest = max(kmsgs, key=lambda k: k.stamp)
         slam.db.add_graph_msg(GraphMsg(
