@@ -84,10 +84,12 @@ def prefilter(cloud: PointCloud, cfg: PrefilterConfig,
         cloud = distance_filter(cloud, cfg.distance_near_thresh,
                                 cfg.distance_far_thresh)
     if cfg.downsample_method in ("VOXELGRID", "APPROX_VOXELGRID"):
+        # absolute_origin: per-scan grids quantize translation-invariantly
+        # so overlapping keyframes keep consistent voxel subsets
         cloud = voxel.voxel_downsample(
             cloud, cfg.downsample_resolution,
             min_points=cfg.downsample_min_points_per_voxel,
-            capacity=cfg.capacity_filtered_points)
+            capacity=cfg.capacity_filtered_points, absolute_origin=True)
     else:
         cloud = compact(cloud, cfg.capacity_filtered_points)
     if cfg.outlier_removal_method == "RADIUS":

@@ -64,26 +64,52 @@ def pack_key(coords: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(ok, key, _INVALID_KEY)
 
 
-@functools.partial(jax.jit, static_argnames=("resolution", "min_points", "capacity"))
+def wrapped_key(points: jnp.ndarray, valid: jnp.ndarray,
+                resolution: float) -> jnp.ndarray:
+    """Translation-invariant voxel keys: absolute-origin coords wrapped to
+    the 1024-cell window per axis.
+
+    Identical world voxels get identical keys regardless of which scan they
+    appear in, so fixed-capacity truncation keeps CONSISTENT subsets across
+    overlapping keyframes (min-corner anchoring makes subsets differ per
+    cloud, which degrades cross-keyframe fitness scores). Wrapping aliases
+    voxels 1024*resolution apart — safe for single scans (LiDAR diameter
+    ~70 m << 102 m at 0.1 m resolution), NOT for whole-map assembly.
+    """
+    coords = jnp.floor(points / resolution).astype(jnp.int32) & _MASK
+    key = (coords[..., 0] << (2 * _BITS)) | (coords[..., 1] << _BITS) \
+        | coords[..., 2]
+    return jnp.where(valid, key, _INVALID_KEY)
+
+
+@functools.partial(jax.jit, static_argnames=("resolution", "min_points",
+                                             "capacity", "absolute_origin"))
 def voxel_downsample(cloud: PointCloud, resolution: float,
                      min_points: int = 1,
-                     capacity: Optional[int] = None) -> PointCloud:
+                     capacity: Optional[int] = None,
+                     absolute_origin: bool = False) -> PointCloud:
     """Per-voxel mean downsample with a min-hits threshold.
 
     Semantics of ApproximateMeanVoxelGrid::applyFilter (reference custom PCL
     filter) and, with min_points=1, of the VOXELGRID/APPROX_VOXELGRID
     prefiltering paths (apps/prefiltering_component.cpp:158-180).
+
+    absolute_origin=True uses translation-invariant wrapped keys (see
+    wrapped_key) — right for per-scan clouds; keep False for maps larger
+    than 1024 * resolution.
     """
     cap = capacity or cloud.capacity
     pts = cloud.points
     valid = cloud.mask
 
-    # Anchor the quantization window at the min corner of the valid points.
-    big = jnp.where(valid[:, None], pts, jnp.inf)
-    origin = jnp.min(big, axis=0)
-    origin = jnp.where(jnp.isfinite(origin), origin, 0.0)
-
-    key = pack_key(voxel_coords(pts, resolution, origin), valid)
+    if absolute_origin:
+        key = wrapped_key(pts, valid, resolution)
+    else:
+        # Anchor the quantization window at the min corner of the cloud.
+        big = jnp.where(valid[:, None], pts, jnp.inf)
+        origin = jnp.min(big, axis=0)
+        origin = jnp.where(jnp.isfinite(origin), origin, 0.0)
+        key = pack_key(voxel_coords(pts, resolution, origin), valid)
     order = jnp.lexsort((key, scramble_key(key)))
     key_s = key[order]
     pts_s = pts[order]

@@ -135,3 +135,24 @@ def test_deskew_identity(rng):
     out = prefilter.deskew(pc, jnp.asarray(frac),
                            jnp.zeros(3, jnp.float32), 0.1)
     np.testing.assert_allclose(out.to_numpy(), pts, atol=1e-6)
+
+
+def test_voxel_absolute_origin_consistency(rng):
+    """Two overlapping scans keep consistent voxel subsets under truncation
+    with absolute_origin keys (min-corner anchoring would not)."""
+    base = rng.uniform(0, 20, size=(4000, 3)).astype(np.float32)
+    a = base + rng.normal(scale=0.01, size=base.shape).astype(np.float32)
+    b = base + rng.normal(scale=0.01, size=base.shape).astype(np.float32)
+    # shift cloud b's bounding box by adding a far-off corner point
+    b = np.concatenate([b, [[-7.3, -9.1, -3.7]]]).astype(np.float32)
+    ca = PointCloud.from_array(a, capacity=4096)
+    cb = PointCloud.from_array(b, capacity=4096)
+    cap = 512  # forces heavy truncation
+    da = voxel.voxel_downsample(ca, 0.5, capacity=cap, absolute_origin=True)
+    db = voxel.voxel_downsample(cb, 0.5, capacity=cap, absolute_origin=True)
+    pa, pb = da.to_numpy(), db.to_numpy()
+    # most kept voxels coincide (same keys -> same hash order)
+    from scipy.spatial import cKDTree
+    d, _ = cKDTree(pb).query(pa)
+    frac_close = (d < 0.5).mean()
+    assert frac_close > 0.9, frac_close
