@@ -142,12 +142,7 @@ class LoopClosureConfig:
     candidate_max_xy_distance: float = 15.0
     accum_distance_thresh_same_robot: float = 15.0
     accum_distance_thresh_other_robot: float = 5.0
-    # Reference default is inf (config/mrg_slam.yaml:172). Under this
-    # framework's fixed-capacity clouds, capacity overflow keeps a random
-    # voxel subset per keyframe, so unbounded-range fitness punishes true
-    # overlaps by meters; a finite gate restores comparability. Set to inf
-    # to reproduce the reference behavior exactly.
-    fitness_score_max_range: float = 2.0
+    fitness_score_max_range: float = math.inf  # config/mrg_slam.yaml:172
     fitness_score_thresh: float = 1.25
     use_planar_registration_guess: bool = False
     loop_closure_edge_robust_kernel: str = "Huber"
@@ -212,11 +207,19 @@ class OptimizerConfig:
     g2o_solver_type: str = "lm_var_cholmod"  # parsed for lm/gn choice only
     g2o_solver_num_iterations: int = 512  # outer cap; early-stops on chi2 tol
     g2o_verbose: bool = False
-    chi2_rel_tol: float = 1e-8
+    # g2o's TerminateAction stops when the chi2 gain falls below a relative
+    # threshold; 1e-6 matches its default gainThreshold order — at 1e-8 the
+    # LM loop in practice always ran to the iteration cap.
+    chi2_rel_tol: float = 1e-6
     lm_initial_lambda: float = 1e-6  # -1 semantics: auto from diag(H)
     solver_backend: str = "dense"  # dense | cg (block-Jacobi PCG)
     cg_max_iterations: int = 256
     cg_tol: float = 1e-6
+    # per-tick marginal covariances attached to map/marker snapshots
+    # (mrg_slam_component.cpp:882-891): "none" skips, "approx" = block-
+    # Jacobi diag (cheap, rides the optimize dispatch), "exact" = dense
+    # H^-1 diag like g2o's sparse marginals
+    per_tick_marginals: str = "approx"
 
 
 @dataclass(frozen=True)

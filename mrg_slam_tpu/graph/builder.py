@@ -2,14 +2,18 @@
 
 Mirrors include/mrg_slam/graph_slam.hpp:34-174 (add_se3_node, add_*_edge,
 add_robust_kernel, optimize, compute_marginals, save/load) as an
-incremental builder over numpy staging buffers that snapshots into the
-device-side `PoseGraphData` pytree for each solve. Node/edge ids are dense
-ints; uuid bookkeeping lives a level up in models/graph_database.py.
+incremental builder over PREALLOCATED capacity-sized numpy staging buffers
+that snapshot into the device-side `PoseGraphData` pytree for each solve.
+Rows are written in place at add time, so `snapshot()` is a plain
+host->device copy of the standing buffers (the round-1 version re-packed
+every table from python lists per solve — ~200 ms per optimization tick).
+Node/edge ids are dense ints; uuid bookkeeping lives a level up in
+models/graph_database.py.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Dict, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -22,6 +26,40 @@ from .types import (KERNEL_IDS, PLANE_PLANE_IDENTITY, PLANE_PLANE_PARALLEL,
                     PlaneEdges, PlanePlaneEdges, PlanePriorEdges,
                     PoseGraphData, PriorEdges, SE3Edges)
 
+_POSE_ID = np.asarray([0, 0, 0, 1, 0, 0, 0], np.float32)
+_PLANE_ID = np.asarray([0, 0, 1, 0], np.float32)
+
+
+class _NpTable:
+    """Capacity-sized numpy staging table with in-place row append."""
+
+    def __init__(self, capacity: int,
+                 fields: Dict[str, Tuple[tuple, np.dtype, float]]):
+        self.n = 0
+        self.capacity = capacity
+        self.arrays: Dict[str, np.ndarray] = {}
+        for name, (shape, dtype, fill) in fields.items():
+            arr = np.empty((capacity,) + shape, dtype)
+            arr[...] = fill
+            self.arrays[name] = arr
+
+    def add(self, **values) -> int:
+        if self.n >= self.capacity:
+            raise ValueError("graph capacity exceeded; raise capacities")
+        i = self.n
+        for name, v in values.items():
+            self.arrays[name][i] = v
+        self.n += 1
+        return i
+
+    def __len__(self) -> int:
+        return self.n
+
+    def mask(self) -> np.ndarray:
+        m = np.zeros(self.capacity, bool)
+        m[: self.n] = True
+        return m
+
 
 class GraphSLAM:
     """Incremental pose-graph builder + optimizer frontend."""
@@ -33,59 +71,104 @@ class GraphSLAM:
         self.cfg = cfg or OptimizerConfig()
         self.cap = dict(nodes=capacity_nodes, edges=capacity_edges,
                         planes=capacity_planes, priors=capacity_priors,
-                        plane_edges=capacity_plane_edges)
-        self.poses = np.zeros((0, 7), np.float32)
-        self.fixed: list[bool] = []
-        self.planes = np.zeros((0, 4), np.float32)
-        self.plane_fixed: list[bool] = []
-        self._se3 = []        # (from, to, meas7, info66, kernel, delta)
-        self._priors = []     # (node, ptype, meas8, info33, kernel, delta)
-        self._pl_edges = []   # (node, plane, meas4, info33, kernel, delta)
-        self._pl_priors = []  # (plane, ptype, meas4, info44, kernel, delta)
-        self._pl_pl = []      # (from, to, ptype, meas4, info44, kernel, delta)
+                        plane_edges=capacity_plane_edges,
+                        plane_priors=8, plane_plane=8)
+        self._n_nodes = 0
+        self._poses = np.tile(_POSE_ID, (capacity_nodes, 1))
+        self._node_fixed = np.zeros(capacity_nodes, bool)
+        self._n_planes = 0
+        self._planes = np.tile(_PLANE_ID, (capacity_planes, 1))
+        self._plane_fixed = np.zeros(capacity_planes, bool)
+
+        f32, i32 = np.float32, np.int32
+        self._se3 = _NpTable(capacity_edges, {
+            "from_idx": ((), i32, 0), "to_idx": ((), i32, 0),
+            "meas": ((7,), f32, _POSE_ID), "info": ((6, 6), f32, 0.0),
+            "kernel": ((), i32, 0), "delta": ((), f32, 1.0)})
+        self._priors = _NpTable(capacity_priors, {
+            "node_idx": ((), i32, 0), "ptype": ((), i32, 0),
+            "meas": ((8,), f32, 0.0), "info": ((3, 3), f32, 0.0),
+            "kernel": ((), i32, 0), "delta": ((), f32, 1.0)})
+        self._pl_edges = _NpTable(capacity_plane_edges, {
+            "node_idx": ((), i32, 0), "plane_idx": ((), i32, 0),
+            "meas": ((4,), f32, _PLANE_ID), "info": ((3, 3), f32, 0.0),
+            "kernel": ((), i32, 0), "delta": ((), f32, 1.0)})
+        self._pl_priors = _NpTable(self.cap["plane_priors"], {
+            "plane_idx": ((), i32, 0), "ptype": ((), i32, 0),
+            "meas": ((4,), f32, 0.0), "info": ((4, 4), f32, 0.0),
+            "kernel": ((), i32, 0), "delta": ((), f32, 1.0)})
+        self._pl_pl = _NpTable(self.cap["plane_plane"], {
+            "from_idx": ((), i32, 0), "to_idx": ((), i32, 0),
+            "ptype": ((), i32, 0),
+            "meas": ((4,), f32, 0.0), "info": ((4, 4), f32, 0.0),
+            "kernel": ((), i32, 0), "delta": ((), f32, 1.0)})
+
         self.chi2_initial = 0.0
         self.chi2_final = 0.0
         self.last_iterations = 0
+        # per-node 6x6 covariance blocks from the latest per-tick marginals
+        # pass (None until optimize() runs with marginals enabled)
+        self.last_marginals: Optional[np.ndarray] = None
+
+    # -- views ----------------------------------------------------------
+    @property
+    def poses(self) -> np.ndarray:
+        """(num_nodes, 7) current estimates (mutable view)."""
+        return self._poses[: self._n_nodes]
+
+    @property
+    def planes(self) -> np.ndarray:
+        return self._planes[: self._n_planes]
+
+    @property
+    def fixed(self) -> np.ndarray:
+        return self._node_fixed[: self._n_nodes]
 
     # -- nodes ----------------------------------------------------------
     def add_se3_node(self, pose, fixed: bool = False) -> int:
-        pose = np.asarray(pose, np.float32).reshape(7)
-        self.poses = np.concatenate([self.poses, pose[None]], 0)
-        self.fixed.append(fixed)
-        return self.poses.shape[0] - 1
+        if self._n_nodes >= self.cap["nodes"]:
+            raise ValueError("graph capacity exceeded; raise capacities")
+        i = self._n_nodes
+        self._poses[i] = np.asarray(pose, np.float32).reshape(7)
+        self._node_fixed[i] = fixed
+        self._n_nodes += 1
+        return i
 
     def add_plane_node(self, coeffs, fixed: bool = False) -> int:
+        if self._n_planes >= self.cap["planes"]:
+            raise ValueError("plane capacity exceeded; raise capacities")
         c = np.asarray(coeffs, np.float32).reshape(4)
-        n = np.linalg.norm(c[:3])
-        c = c / max(n, 1e-12)
-        self.planes = np.concatenate([self.planes, c[None]], 0)
-        self.plane_fixed.append(fixed)
-        return self.planes.shape[0] - 1
+        c = c / max(np.linalg.norm(c[:3]), 1e-12)
+        i = self._n_planes
+        self._planes[i] = c
+        self._plane_fixed[i] = fixed
+        self._n_planes += 1
+        return i
 
     def set_fixed(self, node_id: int, fixed: bool = True) -> None:
-        self.fixed[node_id] = fixed
+        self._node_fixed[node_id] = fixed
 
     # -- edges ----------------------------------------------------------
     def add_se3_edge(self, from_id: int, to_id: int, meas_pose, info,
                      kernel: str = "NONE", kernel_delta: float = 1.0) -> int:
-        self._se3.append((from_id, to_id,
-                          np.asarray(meas_pose, np.float32).reshape(7),
-                          np.asarray(info, np.float32).reshape(6, 6),
-                          KERNEL_IDS[kernel], float(kernel_delta)))
-        return len(self._se3) - 1
+        return self._se3.add(
+            from_idx=from_id, to_idx=to_id,
+            meas=np.asarray(meas_pose, np.float32).reshape(7),
+            info=np.asarray(info, np.float32).reshape(6, 6),
+            kernel=KERNEL_IDS[kernel], delta=float(kernel_delta))
 
     def _add_prior(self, node_id, ptype, meas8, info33, kernel, delta):
-        self._priors.append((node_id, ptype, meas8, info33,
-                             KERNEL_IDS[kernel], float(delta)))
-        return len(self._priors) - 1
+        return self._priors.add(
+            node_idx=node_id, ptype=ptype, meas=meas8,
+            info=np.asarray(info33, np.float32).reshape(3, 3),
+            kernel=KERNEL_IDS[kernel], delta=float(delta))
 
     def add_se3_prior_xyz_edge(self, node_id: int, xyz, info3,
                                kernel: str = "NONE", kernel_delta: float = 1.0):
         meas = np.zeros(8, np.float32)
         meas[:3] = np.asarray(xyz, np.float32)
-        return self._add_prior(node_id, PRIOR_XYZ, meas,
-                               np.asarray(info3, np.float32).reshape(3, 3),
-                               kernel, kernel_delta)
+        return self._add_prior(node_id, PRIOR_XYZ, meas, info3, kernel,
+                               kernel_delta)
 
     def add_se3_prior_xy_edge(self, node_id: int, xy, info2,
                               kernel: str = "NONE", kernel_delta: float = 1.0):
@@ -103,9 +186,8 @@ class GraphSLAM:
                                 kernel_delta: float = 1.0):
         meas = np.zeros(8, np.float32)
         meas[:4] = np.asarray(quat_wxyz, np.float32)
-        return self._add_prior(node_id, PRIOR_QUAT, meas,
-                               np.asarray(info3, np.float32).reshape(3, 3),
-                               kernel, kernel_delta)
+        return self._add_prior(node_id, PRIOR_QUAT, meas, info3, kernel,
+                               kernel_delta)
 
     def add_se3_prior_vec_edge(self, node_id: int, dir_world, measured,
                                info3, kernel: str = "NONE",
@@ -113,19 +195,18 @@ class GraphSLAM:
         meas = np.zeros(8, np.float32)
         meas[:3] = np.asarray(dir_world, np.float32)
         meas[3:6] = np.asarray(measured, np.float32)
-        return self._add_prior(node_id, PRIOR_VEC, meas,
-                               np.asarray(info3, np.float32).reshape(3, 3),
-                               kernel, kernel_delta)
+        return self._add_prior(node_id, PRIOR_VEC, meas, info3, kernel,
+                               kernel_delta)
 
     def add_se3_plane_edge(self, node_id: int, plane_id: int, plane_local,
                            info3, kernel: str = "NONE",
                            kernel_delta: float = 1.0) -> int:
         c = np.asarray(plane_local, np.float32).reshape(4)
         c = c / max(np.linalg.norm(c[:3]), 1e-12)
-        self._pl_edges.append((node_id, plane_id, c,
-                               np.asarray(info3, np.float32).reshape(3, 3),
-                               KERNEL_IDS[kernel], float(kernel_delta)))
-        return len(self._pl_edges) - 1
+        return self._pl_edges.add(
+            node_idx=node_id, plane_idx=plane_id, meas=c,
+            info=np.asarray(info3, np.float32).reshape(3, 3),
+            kernel=KERNEL_IDS[kernel], delta=float(kernel_delta))
 
     # -- plane priors / plane-plane edges -------------------------------
     def add_plane_prior_normal_edge(self, plane_id: int, normal, info3,
@@ -135,9 +216,9 @@ class GraphSLAM:
         meas[:3] = np.asarray(normal, np.float32)
         info = np.zeros((4, 4), np.float32)
         info[:3, :3] = np.asarray(info3, np.float32).reshape(3, 3)
-        self._pl_priors.append((plane_id, PLANE_PRIOR_NORMAL, meas, info,
-                                KERNEL_IDS[kernel], float(kernel_delta)))
-        return len(self._pl_priors) - 1
+        return self._pl_priors.add(
+            plane_idx=plane_id, ptype=PLANE_PRIOR_NORMAL, meas=meas,
+            info=info, kernel=KERNEL_IDS[kernel], delta=float(kernel_delta))
 
     def add_plane_prior_distance_edge(self, plane_id: int, distance: float,
                                       info1: float, kernel: str = "NONE",
@@ -146,14 +227,14 @@ class GraphSLAM:
         meas[0] = distance
         info = np.zeros((4, 4), np.float32)
         info[0, 0] = float(info1)
-        self._pl_priors.append((plane_id, PLANE_PRIOR_DISTANCE, meas, info,
-                                KERNEL_IDS[kernel], float(kernel_delta)))
-        return len(self._pl_priors) - 1
+        return self._pl_priors.add(
+            plane_idx=plane_id, ptype=PLANE_PRIOR_DISTANCE, meas=meas,
+            info=info, kernel=KERNEL_IDS[kernel], delta=float(kernel_delta))
 
     def _add_plane_plane(self, a, b, ptype, meas4, info44, kernel, delta):
-        self._pl_pl.append((a, b, ptype, meas4, info44, KERNEL_IDS[kernel],
-                            float(delta)))
-        return len(self._pl_pl) - 1
+        return self._pl_pl.add(
+            from_idx=a, to_idx=b, ptype=ptype, meas=meas4, info=info44,
+            kernel=KERNEL_IDS[kernel], delta=float(delta))
 
     def add_plane_identity_edge(self, a: int, b: int, meas4, info4,
                                 kernel: str = "NONE",
@@ -187,93 +268,49 @@ class GraphSLAM:
     # -- solve ----------------------------------------------------------
     @property
     def num_nodes(self) -> int:
-        return self.poses.shape[0]
+        return self._n_nodes
 
     @property
     def num_edges(self) -> int:
-        return len(self._se3)
+        return self._se3.n
+
+    @property
+    def num_plane_edges(self) -> int:
+        return self._pl_edges.n
 
     def snapshot(self) -> PoseGraphData:
-        """Pack staging buffers into the padded device pytree."""
-        cap = self.cap
-        n, p = self.num_nodes, self.planes.shape[0]
-        if n > cap["nodes"] or len(self._se3) > cap["edges"]:
-            raise ValueError("graph capacity exceeded; raise capacities")
-        g = PoseGraphData.empty(cap["nodes"], cap["edges"], cap["planes"],
-                                cap["priors"], cap["plane_edges"])
+        """Wrap the standing staging buffers as the padded device pytree."""
+        node_mask = np.zeros(self.cap["nodes"], bool)
+        node_mask[: self._n_nodes] = True
+        plane_mask = np.zeros(self.cap["planes"], bool)
+        plane_mask[: self._n_planes] = True
 
-        def fill(dst, rows, dtype=np.float32):
-            arr = np.asarray(dst)
-            out = np.array(arr)
-            if rows:
-                stacked = np.stack([np.asarray(r, dtype) for r in rows])
-                out[: len(rows)] = stacked
-            return jnp.asarray(out)
-
-        poses = np.array(np.asarray(g.poses))
-        poses[:n] = self.poses
-        node_mask = np.zeros(cap["nodes"], bool)
-        node_mask[:n] = True
-        node_fixed = np.zeros(cap["nodes"], bool)
-        node_fixed[:n] = np.asarray(self.fixed, bool)
-        planes = np.array(np.asarray(g.planes))
-        planes[:p] = self.planes
-        plane_mask = np.zeros(cap["planes"], bool)
-        plane_mask[:p] = True
-        plane_fixed = np.zeros(cap["planes"], bool)
-        plane_fixed[:p] = np.asarray(self.plane_fixed, bool)
-
-        def table(rows, empty, fields):
-            out = {}
-            ne = len(rows)
-            for i, (name, shape, dtype) in enumerate(fields):
-                buf = np.array(np.asarray(getattr(empty, name)))
-                if ne:
-                    buf[:ne] = np.stack(
-                        [np.asarray(r[i], dtype).reshape(shape) for r in rows])
-                out[name] = jnp.asarray(buf)
-            m = np.zeros(buf.shape[0], bool)
-            m[:ne] = True
-            out["mask"] = jnp.asarray(m)
-            return out
-
-        se3_t = table(self._se3, g.se3, [
-            ("from_idx", (), np.int32), ("to_idx", (), np.int32),
-            ("meas", (7,), np.float32), ("info", (6, 6), np.float32),
-            ("kernel", (), np.int32), ("delta", (), np.float32)])
-        pr_t = table(self._priors, g.priors, [
-            ("node_idx", (), np.int32), ("ptype", (), np.int32),
-            ("meas", (8,), np.float32), ("info", (3, 3), np.float32),
-            ("kernel", (), np.int32), ("delta", (), np.float32)])
-        pl_t = table(self._pl_edges, g.plane_edges, [
-            ("node_idx", (), np.int32), ("plane_idx", (), np.int32),
-            ("meas", (4,), np.float32), ("info", (3, 3), np.float32),
-            ("kernel", (), np.int32), ("delta", (), np.float32)])
-        pp_t = table(self._pl_priors, g.plane_priors, [
-            ("plane_idx", (), np.int32), ("ptype", (), np.int32),
-            ("meas", (4,), np.float32), ("info", (4, 4), np.float32),
-            ("kernel", (), np.int32), ("delta", (), np.float32)])
-        qq_t = table(self._pl_pl, g.plane_plane, [
-            ("from_idx", (), np.int32), ("to_idx", (), np.int32),
-            ("ptype", (), np.int32),
-            ("meas", (4,), np.float32), ("info", (4, 4), np.float32),
-            ("kernel", (), np.int32), ("delta", (), np.float32)])
+        def tab(cls, t: _NpTable):
+            return cls(**{k: jnp.asarray(v) for k, v in t.arrays.items()},
+                       mask=jnp.asarray(t.mask()))
 
         return PoseGraphData(
-            poses=jnp.asarray(poses), node_mask=jnp.asarray(node_mask),
-            node_fixed=jnp.asarray(node_fixed), planes=jnp.asarray(planes),
+            poses=jnp.asarray(self._poses), node_mask=jnp.asarray(node_mask),
+            node_fixed=jnp.asarray(self._node_fixed),
+            planes=jnp.asarray(self._planes),
             plane_mask=jnp.asarray(plane_mask),
-            plane_fixed=jnp.asarray(plane_fixed),
-            se3=SE3Edges(**se3_t), priors=PriorEdges(**pr_t),
-            plane_edges=PlaneEdges(**pl_t),
-            plane_priors=PlanePriorEdges(**pp_t),
-            plane_plane=PlanePlaneEdges(**qq_t))
+            plane_fixed=jnp.asarray(self._plane_fixed),
+            se3=tab(SE3Edges, self._se3),
+            priors=tab(PriorEdges, self._priors),
+            plane_edges=tab(PlaneEdges, self._pl_edges),
+            plane_priors=tab(PlanePriorEdges, self._pl_priors),
+            plane_plane=tab(PlanePlaneEdges, self._pl_pl))
 
-    def optimize(self, num_iterations: Optional[int] = None) -> float:
+    def optimize(self, num_iterations: Optional[int] = None,
+                 marginals_mode: Optional[str] = None) -> float:
         """Run LM; writes optimized estimates back into the staging buffers.
 
         Returns final chi2 (graph_slam.cpp:353-395 semantics: chi2 before
-        and after are retained on the object)."""
+        and after are retained on the object). `marginals_mode` overrides
+        cfg.per_tick_marginals ("none" | "approx" | "exact"); when enabled,
+        the covariance blocks ride the same dispatch chain and land in
+        `self.last_marginals` (mrg_slam_component.cpp:882-891 computes
+        marginals every optimization for the keyframe snapshots)."""
         cfg = self.cfg
         if num_iterations is not None:
             import dataclasses
@@ -281,10 +318,18 @@ class GraphSLAM:
                                       g2o_solver_num_iterations=num_iterations)
         g = self.snapshot()
         res = solve.optimize(g, cfg)
-        n, p = self.num_nodes, self.planes.shape[0]
-        self.poses = np.asarray(res.poses)[:n]
+        n, p = self.num_nodes, self._n_planes
+        mode = (marginals_mode if marginals_mode is not None
+                else cfg.per_tick_marginals)
+        cov = None
+        if mode and mode != "none" and n:
+            g_opt = g._replace(poses=res.poses, planes=res.planes)
+            cov = solve.marginals(g_opt, exact=(mode == "exact"))
+        self._poses[:n] = np.asarray(res.poses)[:n]
         if p:
-            self.planes = np.asarray(res.planes)[:p]
+            self._planes[:p] = np.asarray(res.planes)[:p]
+        if cov is not None:
+            self.last_marginals = np.asarray(cov)[:n]
         self.chi2_initial = float(res.chi2_initial)
         self.chi2_final = float(res.chi2_final)
         self.last_iterations = int(res.iterations)

@@ -28,7 +28,7 @@ import numpy as np
 
 from ..config import SlamConfig
 from ..ops.cloud import PAD_VALUE, PointCloud
-from ..utils import se3
+from ..utils import se3np
 from .graph_database import GraphDatabase
 from .keyframe import EDGE_ANCHOR
 from .keyframe_updater import KeyframeUpdater
@@ -69,6 +69,7 @@ class MrgSlam:
     """One robot's complete SLAM back-end."""
 
     MAX_OTHER_ROBOTS = 8
+    MAX_STORED_SLAM_POSES = 1024  # PATH_PROXIMITY backlog cap per robot
 
     def __init__(self, cfg: SlamConfig):
         self.cfg = cfg
@@ -89,17 +90,22 @@ class MrgSlam:
         self.floor_processor = FloorCoeffsProcessor(cfg.floor_coeffs)
 
         x, y, z, yaw, pitch, roll = cfg.init_pose
-        q = np.asarray(se3.rpy_to_quat(jnp.float32(roll), jnp.float32(pitch),
-                                       jnp.float32(yaw)))
+        q = se3np.rpy_to_quat(roll, pitch, yaw)
         self.init_pose = np.concatenate(
             [np.asarray([x, y, z], np.float32), q]).astype(np.float32)
         # odom->map transform, set on first keyframe then re-estimated after
         # every optimization (:864-880)
-        self.trans_odom2map = np.asarray(se3.pose_identity())
+        self.trans_odom2map = se3np.pose_identity()
         self._init_done = False
 
         # multi-robot state
         self.others_odom_poses: Dict[str, PoseWithName] = {}
+        # per-robot odom->own-map transform, re-estimated from that robot's
+        # latest merged keyframe after every optimization (:864-880)
+        self.others_odom2map: Dict[str, np.ndarray] = {}
+        # other robots' current positions in OUR map frame (only known once
+        # their graph has been merged at least once, :660-683)
+        self.others_map_poses: Dict[str, np.ndarray] = {}
         self.others_slam_poses: Dict[str, List[PoseWithName]] = {}
         self.others_last_accum_dist: Dict[str, float] = {}
         self.others_last_exchange_time: Dict[str, float] = {}
@@ -128,26 +134,33 @@ class MrgSlam:
             return broadcast
 
         cloud = self._remove_other_robot_points(odom_pose, cloud)
-        self.db.add_odom_keyframe(stamp, odom_pose, accum, cloud)
+        kf = self.db.add_odom_keyframe(stamp, odom_pose, accum, cloud)
+        # kick off the keyframe's GICP covariance pass now (async device
+        # work): the tick's batched pair program then finds it cached
+        self.loop_detector.runner.prefetch(kf)
         return broadcast
 
     def _remove_other_robot_points(self, odom_pose: np.ndarray,
                                    cloud: PointCloud) -> PointCloud:
+        """Remove points near other robots (mrg_slam_component.cpp:375-443).
+
+        Other robots' positions are only known in our map frame once their
+        odom->map transform has been estimated from a merged keyframe
+        (others_map_poses, :660-683); robots never merged are skipped, like
+        the reference's others_odom_poses_ gated on others_odom2map_."""
         r = self.cfg.robot_remove_points_radius
         if r <= 0:
             return cloud
         centers = np.zeros((self.MAX_OTHER_ROBOTS, 3), np.float32)
         valid = np.zeros(self.MAX_OTHER_ROBOTS, bool)
         # own base->map transform at this scan
-        own_map = se3.pose_compose(jnp.asarray(self.trans_odom2map),
-                                   jnp.asarray(odom_pose))
-        map2base = se3.pose_inverse(own_map)
+        own_map = se3np.pose_compose(self.trans_odom2map, odom_pose)
+        map2base = se3np.pose_inverse(own_map)
         i = 0
-        for name, pose_msg in self.others_odom_poses.items():
+        for name, map_pose in self.others_map_poses.items():
             if name == self.own_name or i >= self.MAX_OTHER_ROBOTS:
                 continue
-            other_base = np.asarray(
-                se3.pose_apply(map2base, jnp.asarray(pose_msg.pose[:3])))
+            other_base = se3np.pose_apply(map2base, map_pose[:3])
             centers[i] = other_base
             valid[i] = True
             i += 1
@@ -163,7 +176,14 @@ class MrgSlam:
     # the main loop (graph_update_interval timer)
     # ------------------------------------------------------------------
     def optimization_tick(self, now: float = 0.0) -> Optional[TickStats]:
-        """optimization_timer_callback (:802): flush -> loops -> optimize."""
+        """optimization_timer_callback (:802): flush -> loops -> optimize.
+
+        The device work of a tick is batched into at most three dispatches
+        (vs. the reference's serial per-edge/per-candidate operations):
+        phase-1 pair program (odometry-edge fitness + every loop-candidate
+        registration), phase-2 pair program (consistency checks of the
+        selected candidates), and the jitted LM solve.
+        """
         stats = TickStats()
         if not self._init_done and self.db.keyframe_queue:
             # set_init_pose (:458): odom2map starts at the configured pose
@@ -171,7 +191,9 @@ class MrgSlam:
             self._init_done = True
             self.status.initialized = True
 
-        flushed = self.db.flush_keyframe_queue(self.trans_odom2map)
+        pending_edges = self.db.flush_keyframe_queue(self.trans_odom2map,
+                                                     defer_info=True)
+        flushed = bool(pending_edges)
         flushed |= self.db.flush_static_keyframe_queue()
         flushed |= self.db.flush_graph_queue(self.loop_detector.loop_manager)
         own_kfs = self.db.own_keyframes()
@@ -181,12 +203,23 @@ class MrgSlam:
         if not flushed and not self.db.new_keyframes:
             return None
 
+        # odometry edges whose information matrix needs a fitness pass ride
+        # in the loop detector's phase-1 dispatch
+        from .pair_runner import PairRequest
+        deferred = [e for e in pending_edges if e.edge_id is None]
+        edge_reqs = tuple(PairRequest(
+            target=self.db.uuid_keyframe_map[e.from_uuid],
+            source=self.db.uuid_keyframe_map[e.to_uuid],
+            init_pose=e.relative_pose) for e in deferred)
+
         self.status.in_loop_closure = True
         t0 = time.perf_counter()
-        loops = self.loop_detector.detect(self.db)
+        loops, edge_results = self.loop_detector.detect(self.db, edge_reqs)
         stats.loop_closure_us = (time.perf_counter() - t0) * 1e6
         stats.num_loops = len(loops)
         self.status.in_loop_closure = False
+        self.db.finalize_edges(deferred,
+                               [r.fitness_inf for r in edge_results])
         self.db.insert_loops(loops)
 
         self.status.in_optimization = True
@@ -202,9 +235,23 @@ class MrgSlam:
         prev = self.db.prev_robot_keyframe
         if prev is not None and prev.node_id is not None:
             est = prev.estimate(self.db.graph)
-            self.trans_odom2map = np.asarray(se3.pose_compose(
-                jnp.asarray(est),
-                se3.pose_inverse(jnp.asarray(prev.odom))), np.float32)
+            self.trans_odom2map = se3np.pose_compose(
+                est, se3np.pose_inverse(prev.odom))
+        # ... and every other robot's odom->map from its latest merged
+        # keyframe (:871-880), refreshing their map-frame positions
+        for name, (kf_uuid, kf_odom) in self.db.others_last_kf.items():
+            kf = self.db.uuid_keyframe_map.get(kf_uuid)
+            if kf is None or kf.node_id is None:
+                continue
+            est = kf.estimate(self.db.graph)
+            o2m = se3np.pose_compose(est, se3np.pose_inverse(kf_odom))
+            self.others_odom2map[name] = o2m
+            odom_msg = self.others_odom_poses.get(name)
+            if odom_msg is not None:
+                self.others_map_poses[name] = se3np.pose_compose(
+                    o2m, odom_msg.pose)
+        # per-tick trajectory snapshot (:896 -> graph_database.cpp:599)
+        self.db.save_keyframe_poses()
         self.tick_stats.append(stats)
         return stats
 
@@ -213,9 +260,24 @@ class MrgSlam:
     # ------------------------------------------------------------------
     def on_odom_broadcast(self, msg: PoseWithName) -> None:
         """Track other robots' current positions (:649) for point removal
-        and CURRENT_PROXIMITY triggering."""
-        if msg.robot_name != self.own_name:
-            self.others_odom_poses[msg.robot_name] = msg
+        and CURRENT_PROXIMITY triggering. The broadcast pose lives in the
+        sender's odom frame; it is placed into OUR map frame through that
+        robot's odom->map transform when known (:660-683)."""
+        if msg.robot_name == self.own_name:
+            return
+        self.others_odom_poses[msg.robot_name] = msg
+        o2m = self.others_odom2map.get(msg.robot_name)
+        if o2m is not None:
+            self.others_map_poses[msg.robot_name] = se3np.pose_compose(
+                o2m, msg.pose)
+
+    def others_poses_in_map(self, stamp: float) -> List[PoseWithName]:
+        """PoseWithNameArray equivalent: every known other robot's current
+        pose in OUR map frame (published per odom broadcast, :655-683)."""
+        return [PoseWithName(robot_name=n, stamp=stamp, pose=p.copy(),
+                             accum_dist=self.others_odom_poses[n].accum_dist
+                             if n in self.others_odom_poses else 0.0)
+                for n, p in self.others_map_poses.items()]
 
     def on_slam_pose_broadcast(
             self, msg: PoseWithName, now: float,
@@ -234,7 +296,12 @@ class MrgSlam:
             return False
         name = msg.robot_name
         last_accum = self.others_last_accum_dist.get(name, -1.0)
-        self.others_slam_poses.setdefault(name, []).append(msg)
+        stored = self.others_slam_poses.setdefault(name, [])
+        stored.append(msg)
+        # bound PATH_PROXIMITY accumulation: a long non-overlapping run
+        # would otherwise keep every broadcast until a trigger clears it
+        if len(stored) > self.MAX_STORED_SLAM_POSES:
+            del stored[: len(stored) - self.MAX_STORED_SLAM_POSES]
         exch_cfg = self.cfg.exchange
         if (last_accum >= 0 and abs(msg.accum_dist - last_accum)
                 < exch_cfg.graph_request_min_accum_dist):
@@ -306,7 +373,7 @@ class MrgSlam:
             robot_name=self.own_name,
             latest_keyframe_uuid=prev.uuid if prev else "",
             latest_keyframe_odom=(np.asarray(prev.odom) if prev
-                                  else np.asarray(se3.pose_identity())),
+                                  else se3np.pose_identity()),
             keyframes=kmsgs, edges=emsgs)
         self.sent_graph_bytes.append(msg.nbytes())
         return msg
@@ -400,6 +467,4 @@ class MrgSlam:
 
     def map_pose(self, odom_pose: np.ndarray) -> np.ndarray:
         """Current map-frame pose of the robot given its odometry pose."""
-        return np.asarray(se3.pose_compose(
-            jnp.asarray(self.trans_odom2map), jnp.asarray(odom_pose)),
-            np.float32)
+        return se3np.pose_compose(self.trans_odom2map, odom_pose)

@@ -12,13 +12,12 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, List, Optional, Sequence, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..config import SlamConfig
 from ..graph.builder import GraphSLAM
 from ..ops.cloud import PointCloud
-from ..utils import se3
+from ..utils import se3np
 from .information_matrix import InformationMatrixCalculator
 from .keyframe import (EDGE_ANCHOR, EDGE_LOOP, EDGE_ODOM, Edge, KeyFrame,
                        new_uuid)
@@ -29,6 +28,9 @@ class Loop:
     key1: KeyFrame            # the new keyframe
     key2: KeyFrame            # the matched candidate
     relative_pose: np.ndarray  # (7,) T_new^-1 T_candidate
+    # ungated fitness at relative_pose, carried from the batched matching
+    # pass so insert_loops can weight the edge without another device trip
+    fitness: Optional[float] = None
 
 
 class GraphDatabase:
@@ -57,6 +59,7 @@ class GraphDatabase:
         self.anchor_kf: Optional[KeyFrame] = None
         self.anchor_edge: Optional[Edge] = None
         self.odom_keyframe_counter = 0
+        self._save_counter = 0  # save_keyframe_poses file numbering
         # latest keyframe per other robot: name -> (uuid, odom pose)
         self.others_last_kf: Dict[str, Tuple[str, np.ndarray]] = {}
 
@@ -85,18 +88,28 @@ class GraphDatabase:
     # ------------------------------------------------------------------
     # flush: odometry keyframes
     # ------------------------------------------------------------------
-    def flush_keyframe_queue(self, odom2map: np.ndarray) -> bool:
+    def flush_keyframe_queue(self, odom2map: np.ndarray,
+                             defer_info: bool = False) -> List[Edge]:
         """graph_database.cpp:50: add SE3 node per keyframe + odometry edge
-        to the previous keyframe; anchor handling on the very first one."""
+        to the previous keyframe; anchor handling on the very first one.
+
+        Returns the newly created odometry edges. With `defer_info=True`
+        (the back-end tick), fitness-weighted edges get `information=None`
+        and no solver entry yet — the caller batches ALL edge fitness
+        passes into one device dispatch and then calls `finalize_edges`
+        (the reference runs one kd-tree pass per edge inline,
+        graph_database.cpp:139-142). With the default, information is
+        computed inline per edge, as in round 1.
+        """
         if not self.keyframe_queue:
-            return False
+            return []
         n = min(len(self.keyframe_queue), self.cfg.max_keyframes_per_update)
         batch, self.keyframe_queue = (self.keyframe_queue[:n],
                                       self.keyframe_queue[n:])
+        pending: List[Edge] = []
+        const_info = self.cfg.inf_matrix.use_const_inf_matrix
         for kf in batch:
-            est = np.asarray(se3.pose_compose(jnp.asarray(odom2map),
-                                              jnp.asarray(kf.odom)),
-                             np.float32)
+            est = se3np.pose_compose(odom2map, kf.odom)
             kf.node_id = self.graph.add_se3_node(est)
             self.uuid_keyframe_map[kf.uuid] = kf
             self.new_keyframes.append(kf)
@@ -107,26 +120,47 @@ class GraphDatabase:
                 continue
 
             prev = self.prev_robot_keyframe
-            rel = np.asarray(se3.pose_between(jnp.asarray(kf.odom),
-                                              jnp.asarray(prev.odom)),
-                             np.float32)
-            info = self.inf_calculator.calc_information_matrix(
-                kf.cloud, prev.cloud, rel)
+            rel = se3np.pose_between(kf.odom, prev.odom)
+            if const_info:
+                info = self.inf_calculator.from_fitness(0.0)
+            elif defer_info:
+                info = None
+            else:
+                info = self.inf_calculator.calc_information_matrix(
+                    kf.cloud, prev.cloud, rel)
             edge = Edge(type=EDGE_ODOM, from_uuid=kf.uuid, to_uuid=prev.uuid,
                         relative_pose=rel, information=info,
                         from_readable=kf.readable_id,
                         to_readable=prev.readable_id,
                         robust_kernel=self.cfg.odometry_edge_robust_kernel,
                         robust_kernel_size=self.cfg.odometry_edge_robust_kernel_size)
-            edge.edge_id = self.graph.add_se3_edge(
-                kf.node_id, prev.node_id, rel, info,
-                kernel=self.cfg.odometry_edge_robust_kernel,
-                kernel_delta=self.cfg.odometry_edge_robust_kernel_size)
+            if info is not None:
+                edge.edge_id = self.graph.add_se3_edge(
+                    kf.node_id, prev.node_id, rel, info,
+                    kernel=self.cfg.odometry_edge_robust_kernel,
+                    kernel_delta=self.cfg.odometry_edge_robust_kernel_size)
             self._register_edge(edge)
+            pending.append(edge)
             kf.prev_edge = edge
             prev.next_edge = edge
             self.prev_robot_keyframe = kf
-        return True
+        return pending
+
+    def finalize_edges(self, edges: Sequence[Edge],
+                       fitness: Sequence[float]) -> None:
+        """Attach fitness-derived information matrices to deferred odometry
+        edges and enter them into the solver tables."""
+        for edge, fit in zip(edges, fitness):
+            if edge.edge_id is not None:
+                continue  # const-info edges were finalized at flush
+            edge.information = self.inf_calculator.from_fitness(
+                self.inf_calculator.clamp_fitness(fit))
+            kf_from = self.uuid_keyframe_map[edge.from_uuid]
+            kf_to = self.uuid_keyframe_map[edge.to_uuid]
+            edge.edge_id = self.graph.add_se3_edge(
+                kf_from.node_id, kf_to.node_id, edge.relative_pose,
+                edge.information, kernel=edge.robust_kernel,
+                kernel_delta=edge.robust_kernel_size)
 
     def _handle_first_keyframe(self, kf: KeyFrame, est: np.ndarray) -> None:
         kf.first_keyframe = True
@@ -146,10 +180,11 @@ class GraphDatabase:
             return
         std = np.asarray(self.cfg.custom_inf_matrix_first_node_stddev)
         info = np.diag(1.0 / (std * std)).astype(np.float32)
-        anchor_id = self.graph.add_se3_node(se3.pose_identity(), fixed=True)
+        anchor_id = self.graph.add_se3_node(se3np.pose_identity(),
+                                           fixed=True)
         self.anchor_kf = KeyFrame(
             robot_name=self.own_name, stamp=0.0,
-            odom=np.asarray(se3.pose_identity()), accum_distance=-1.0,
+            odom=se3np.pose_identity(), accum_distance=-1.0,
             cloud=PointCloud.empty(1), slam_uuid=self.slam_uuid,
             odom_counter=-1)
         self.anchor_kf.node_id = anchor_id
@@ -255,8 +290,13 @@ class GraphDatabase:
         """graph_database.cpp:571: loop edges with robust kernel; new
         keyframes graduate into the main keyframe list."""
         for loop in loops:
-            info = self.inf_calculator.calc_information_matrix(
-                loop.key1.cloud, loop.key2.cloud, loop.relative_pose)
+            if loop.fitness is not None:
+                # fitness already measured by the batched matching pass
+                info = self.inf_calculator.from_fitness(
+                    self.inf_calculator.clamp_fitness(loop.fitness))
+            else:
+                info = self.inf_calculator.calc_information_matrix(
+                    loop.key1.cloud, loop.key2.cloud, loop.relative_pose)
             edge = Edge(type=EDGE_LOOP, from_uuid=loop.key1.uuid,
                         to_uuid=loop.key2.uuid,
                         relative_pose=np.asarray(loop.relative_pose,
@@ -285,6 +325,29 @@ class GraphDatabase:
 
     def optimize(self, num_iterations: Optional[int] = None) -> float:
         return self.graph.optimize(num_iterations)
+
+    def save_keyframe_poses(self) -> Optional[str]:
+        """Per-optimization TUM trajectory snapshot into
+        `<result_dir>/<name>/<name>_NNNN.txt` (graph_database.cpp:599-639).
+        No-op when result_dir is unset. Returns the written path."""
+        if not self.cfg.result_dir:
+            return None
+        import pathlib
+
+        name = self.own_name or "no_namespace"
+        d = pathlib.Path(self.cfg.result_dir) / name
+        d.mkdir(parents=True, exist_ok=True)
+        path = d / f"{name}_{self._save_counter:04d}.txt"
+        self._save_counter += 1
+        with open(path, "w") as f:
+            for kf in self.keyframes + self.new_keyframes:
+                if kf.node_id is None or kf.robot_name != self.own_name:
+                    continue
+                t = kf.estimate(self.graph)
+                # TUM: stamp tx ty tz qx qy qz qw (pose stores wxyz)
+                f.write(f"{kf.stamp:.9f} {t[0]} {t[1]} {t[2]} "
+                        f"{t[4]} {t[5]} {t[6]} {t[3]}\n")
+        return str(path)
 
     def keyframe_estimates(self) -> np.ndarray:
         """(K, 7) optimized poses of all flushed keyframes, stable order."""

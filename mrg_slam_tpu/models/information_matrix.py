@@ -50,6 +50,11 @@ class InformationMatrixCalculator:
         inf[3:, 3:] /= w_q
         return inf.astype(np.float32)
 
+    def clamp_fitness(self, fit: float) -> float:
+        """Non-finite fitness (no correspondences) degrades to the threshold
+        — the reference's max-double fallback saturates the same way."""
+        return fit if math.isfinite(fit) else self.cfg.fitness_score_thresh
+
     def calc_information_matrix(self, cloud1: PointCloud, cloud2: PointCloud,
                                 relpose: np.ndarray) -> np.ndarray:
         if self.cfg.use_const_inf_matrix:
@@ -57,6 +62,4 @@ class InformationMatrixCalculator:
         import jax.numpy as jnp
 
         fit = float(fitness_score(cloud1, cloud2, jnp.asarray(relpose)))
-        if not math.isfinite(fit):
-            fit = self.cfg.fitness_score_thresh
-        return self.from_fitness(fit)
+        return self.from_fitness(self.clamp_fitness(fit))

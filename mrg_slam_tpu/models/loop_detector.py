@@ -1,31 +1,33 @@
 """Loop detection: candidate filtering, batched matching, consistency check.
 
 TPU re-design of src/mrg_slam/loop_detector.cpp. The reference registers
-each candidate serially against the new keyframe (:97-188); here the
-candidate set is padded to a static batch and matched in ONE vmapped
-registration program — the per-candidate GICP iterations run as a single
-batched Gauss-Newton on device. Candidate filtering (:40-95) stays on host
-numpy (cheap pose scalars). The odom-chain consistency check (:190-303)
-re-registers the best match's prev/next neighbors and requires
-loop ∘ odom ∘ loop^-1 ≈ I.
+each candidate serially against the new keyframe (:97-188) and then runs
+1-2 more registrations for the odom-chain consistency check (:190-303).
+Here the whole tick is two batched dispatches through the shared
+PairRunner program (models/pair_runner.py):
+
+  phase 1: every candidate of every pending new keyframe — registration +
+           fitness (both flavors) in one `align_pairs` batch;
+  phase 2: the consistency-check registrations of the per-keyframe best
+           matches, again one batch.
+
+Candidate filtering (:40-95) stays on host numpy (cheap pose scalars); the
+composed-cycle test (loop ∘ odom ∘ loop^-1 ≈ I) is host math on the phase-2
+poses.
 """
 
 from __future__ import annotations
 
-import dataclasses
+import time
 from typing import Dict, List, Optional, Tuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..config import LoopClosureConfig, RegistrationConfig
-from ..ops import registration as reg
-from ..ops.cloud import PointCloud
-from ..ops.fitness import fitness_score
-from ..utils import se3
+from ..utils import se3np
 from .graph_database import GraphDatabase, Loop
 from .keyframe import KeyFrame
+from .pair_runner import PairRequest, PairRunner
 
 
 class LoopManager:
@@ -49,37 +51,125 @@ class LoopManager:
             self.add_loop(loop)
 
 
-def _stack_clouds(clouds: List[PointCloud]) -> PointCloud:
-    return PointCloud(jnp.stack([c.points for c in clouds]),
-                      jnp.stack([c.mask for c in clouds]))
-
-
 class LoopDetector:
-    def __init__(self, cfg: LoopClosureConfig, reg_cfg: RegistrationConfig):
+    def __init__(self, cfg: LoopClosureConfig, reg_cfg: RegistrationConfig,
+                 runner: Optional[PairRunner] = None):
         self.cfg = cfg
         self.reg_cfg = reg_cfg
         self.loop_manager = LoopManager()
+        self.runner = runner or PairRunner(reg_cfg)
         # stats mirroring loop_detector.hpp:140-141
         self.loop_detection_times: List[float] = []
         self.loop_candidates_sizes: List[int] = []
 
     # ------------------------------------------------------------------
-    def detect(self, db: GraphDatabase) -> List[Loop]:
-        """loop_detector.cpp:15: scan every pending new keyframe."""
-        import time
+    def detect(self, db: GraphDatabase,
+               extra_requests: Tuple[PairRequest, ...] = ()
+               ) -> Tuple[List[Loop], List]:
+        """loop_detector.cpp:15: scan every pending new keyframe — batched.
 
-        loops: List[Loop] = []
+        Returns (loops, extra_results): each Loop carries the ungated
+        fitness of its aligned pair so `insert_loops` can weight the edge
+        without another device pass. `extra_requests` (e.g. the tick's
+        odometry-edge fitness passes) ride in the same phase-1 dispatch;
+        their results come back in order.
+        """
+        t0 = time.perf_counter()
+        jobs: List[Tuple[KeyFrame, List[KeyFrame]]] = []
+        requests: List[PairRequest] = list(extra_requests)
         for new_kf in db.new_keyframes:
-            t0 = time.perf_counter()
             candidates = self.find_candidates(new_kf, db)
-            if candidates:
-                loop = self.matching(candidates, new_kf, db)
-                if loop is not None:
-                    loops.append(loop)
-                self.loop_candidates_sizes.append(len(candidates))
-                self.loop_detection_times.append(
-                    (time.perf_counter() - t0) * 1e6)
-        return loops
+            if not candidates:
+                continue
+            self.loop_candidates_sizes.append(len(candidates))
+            new_est = new_kf.estimate(db.graph)
+            for cand in candidates:
+                requests.append(PairRequest(
+                    target=new_kf, source=cand,
+                    init_pose=self._guess(new_est, cand.estimate(db.graph)),
+                    max_iters=self.reg_cfg.reg_maximum_iterations,
+                    fitness_max_range=self.cfg.fitness_score_max_range))
+            jobs.append((new_kf, candidates))
+        if not requests:
+            return [], []
+
+        results = self.runner.run(requests)
+        extra_results = results[: len(extra_requests)]
+
+        # phase 1 selection: best gated fitness per new keyframe
+        # (loop_detector.cpp:150-160: skip non-converged, keep best, then
+        # threshold on fitness_score_thresh)
+        best_per_job = []
+        k = len(extra_requests)
+        for new_kf, candidates in jobs:
+            best = None
+            best_score = float("inf")
+            best_res = None
+            for cand in candidates:
+                res = results[k]
+                k += 1
+                if not res.converged or not np.isfinite(res.fitness_range):
+                    continue
+                if res.fitness_range < best_score:
+                    best, best_score, best_res = cand, res.fitness_range, res
+            if best is None or best_score > self.cfg.fitness_score_thresh:
+                continue
+            best_per_job.append((new_kf, best, best_res))
+
+        # phase 2: consistency-check registrations for the selected bests
+        loops: List[Loop] = []
+        cons_requests: List[PairRequest] = []
+        cons_meta = []
+        for new_kf, best, res in best_per_job:
+            if (not self.cfg.enable_loop_closure_consistency_check
+                    or best.first_keyframe or best.static_keyframe):
+                loops.append(self._accept(new_kf, best, res))
+                continue
+            checks = self._neighbor_checks(best, db)
+            if not checks:
+                continue  # no odom neighbors to verify against -> reject
+            new_est = np.asarray(new_kf.estimate(db.graph))
+            for nb_kf, odom_rel, kind in checks:
+                cons_requests.append(PairRequest(
+                    target=new_kf, source=nb_kf,
+                    init_pose=self._guess(new_est,
+                                          nb_kf.estimate(db.graph)),
+                    max_iters=self.reg_cfg.reg_maximum_iterations))
+            cons_meta.append((new_kf, best, res, checks))
+
+        cons_results = self.runner.run(cons_requests)
+        k = 0
+        for new_kf, best, res, checks in cons_meta:
+            ok = False
+            for nb_kf, odom_rel, kind in checks:
+                rel_new_nb = cons_results[k].pose
+                k += 1
+                if ok:
+                    continue
+                if self._cycle_closes(res.pose, rel_new_nb, odom_rel, kind):
+                    ok = True
+            if ok:
+                loops.append(self._accept(new_kf, best, res))
+        if jobs:
+            self.loop_detection_times.append(
+                (time.perf_counter() - t0) * 1e6)
+        return loops, extra_results
+
+    # ------------------------------------------------------------------
+    def _guess(self, new_est, cand_est) -> np.ndarray:
+        """Initial guess = relative pose between current graph estimates,
+        optionally planarized (loop_detector.cpp:125-133)."""
+        g = se3np.pose_between(new_est, cand_est)
+        if self.cfg.use_planar_registration_guess:
+            g[2] = 0.0
+        return g
+
+    def _accept(self, new_kf: KeyFrame, best: KeyFrame, res) -> Loop:
+        loop = Loop(key1=new_kf, key2=best,
+                    relative_pose=np.asarray(res.pose, np.float32),
+                    fitness=res.fitness_inf)
+        self.loop_manager.add_loop(loop)
+        return loop
 
     # ------------------------------------------------------------------
     def find_candidates(self, new_kf: KeyFrame,
@@ -115,66 +205,9 @@ class LoopDetector:
         return [c for _, c in out[: self.cfg.capacity_candidates]]
 
     # ------------------------------------------------------------------
-    def matching(self, candidates: List[KeyFrame], new_kf: KeyFrame,
-                 db: GraphDatabase) -> Optional[Loop]:
-        """Batched equivalent of loop_detector.cpp:97-188.
-
-        target = new keyframe cloud; sources = candidate clouds; initial
-        guess per candidate = new_est^-1 * cand_est (optionally planarized).
-        Returns the best-fitness candidate under fitness_score_thresh that
-        passes the consistency check.
-        """
-        K = self.cfg.capacity_candidates
-        pads = K - len(candidates)
-        cand_clouds = [c.cloud for c in candidates]
-        cap = new_kf.cloud.capacity
-        cand_clouds += [PointCloud.empty(cap)] * pads
-
-        new_est = new_kf.estimate(db.graph)
-        guesses = []
-        for c in candidates:
-            g = np.asarray(se3.pose_between(
-                jnp.asarray(new_est), jnp.asarray(c.estimate(db.graph))),
-                np.float32)
-            if self.cfg.use_planar_registration_guess:
-                g = g.copy()
-                g[2] = 0.0
-            guesses.append(g)
-        guesses += [np.asarray(se3.pose_identity())] * pads
-
-        fits, rels, convs = _batched_match(
-            self.reg_cfg, new_kf.cloud, _stack_clouds(cand_clouds),
-            jnp.asarray(np.stack(guesses)),
-            self.cfg.fitness_score_max_range)
-        fits = np.asarray(fits)
-        rels = np.asarray(rels)
-        convs = np.asarray(convs)
-
-        best, best_score, best_rel = None, float("inf"), None
-        for i, cand in enumerate(candidates):
-            if not convs[i] or not np.isfinite(fits[i]):
-                continue
-            if fits[i] < best_score:
-                best, best_score, best_rel = cand, float(fits[i]), rels[i]
-        if best is None or best_score > self.cfg.fitness_score_thresh:
-            return None
-
-        if (self.cfg.enable_loop_closure_consistency_check
-                and not best.first_keyframe and not best.static_keyframe):
-            if not self._consistency_check(new_kf, best, best_rel, db):
-                return None
-
-        loop = Loop(key1=new_kf, key2=best, relative_pose=best_rel)
-        self.loop_manager.add_loop(loop)
-        return loop
-
-    # ------------------------------------------------------------------
-    def _consistency_check(self, new_kf: KeyFrame, best: KeyFrame,
-                           rel_new_best: np.ndarray,
-                           db: GraphDatabase) -> bool:
-        """loop_detector.cpp:216-303: compose the loop with the candidate's
-        odometry edge to its prev (or next) neighbor; the cycle must close
-        to identity within max_delta_trans / max_delta_angle."""
+    def _neighbor_checks(self, best: KeyFrame, db: GraphDatabase):
+        """The candidate's prev/next odom-chain neighbors
+        (loop_detector.cpp:216-241)."""
         checks = []
         if best.prev_edge is not None:
             prev_kf = db.uuid_keyframe_map.get(best.prev_edge.to_uuid)
@@ -186,54 +219,23 @@ class LoopDetector:
             if next_kf is not None and next_kf.node_id is not None:
                 # next_edge: from=next, to=best; meas = T_next_best
                 checks.append((next_kf, best.next_edge.relative_pose, "next"))
-        if not checks:
-            return False
-        new_est = jnp.asarray(new_kf.estimate(db.graph))
-        for nb_kf, odom_rel, kind in checks:
-            guess = se3.pose_between(new_est,
-                                     jnp.asarray(nb_kf.estimate(db.graph)))
-            if self.cfg.use_planar_registration_guess:
-                guess = guess.at[2].set(0.0)
-            res = reg.align_clouds(self.reg_cfg, nb_kf.cloud, new_kf.cloud,
-                                   guess)
-            rel_new_nb = res.pose  # T_new_neighbor
-            if kind == "prev":
-                # T_new_prev^-1 * T_new_best * T_best_prev ≈ I
-                cyc = se3.pose_compose(
-                    se3.pose_compose(se3.pose_inverse(rel_new_nb),
-                                     jnp.asarray(rel_new_best)),
-                    jnp.asarray(odom_rel))
-            else:
-                # T_new_best^-1 * T_new_next * T_next_best ≈ I
-                cyc = se3.pose_compose(
-                    se3.pose_compose(
-                        se3.pose_inverse(jnp.asarray(rel_new_best)),
-                        rel_new_nb),
-                    jnp.asarray(odom_rel))
-            dt = float(np.linalg.norm(np.asarray(cyc)[:3]))
-            da = float(se3.rotation_angle(cyc[3:7]))
-            if (dt <= self.cfg.loop_closure_consistency_max_delta_trans
-                    and da <= self.cfg.loop_closure_consistency_max_delta_angle):
-                return True
-        return False
+        return checks
 
-
-@jax.jit
-def _batched_fitness(target: PointCloud, sources: PointCloud, poses, max_range):
-    return jax.vmap(fitness_score, in_axes=(None, 0, 0, None))(
-        target, sources, poses, max_range)
-
-
-def _batched_match(reg_cfg: RegistrationConfig, target_cloud: PointCloud,
-                   cand_clouds: PointCloud, guesses: jnp.ndarray,
-                   fitness_max_range: float):
-    """One vmapped GICP program over the padded candidate batch."""
-    target = reg.make_target(target_cloud, reg_cfg)
-    sources = jax.vmap(lambda p, m: reg.make_source(PointCloud(p, m), reg_cfg)
-                       )(cand_clouds.points, cand_clouds.mask)
-    results = jax.vmap(reg.align, in_axes=(None, 0, None, 0))(
-        reg_cfg, sources, target, guesses)
-    max_r = (jnp.inf if fitness_max_range is None
-             else jnp.float32(fitness_max_range))
-    fits = _batched_fitness(target_cloud, cand_clouds, results.pose, max_r)
-    return fits, results.pose, results.converged | (results.iterations > 0)
+    def _cycle_closes(self, rel_new_best, rel_new_nb, odom_rel,
+                      kind: str) -> bool:
+        """loop ∘ odom ∘ loop^-1 ≈ I within max_delta_trans/angle
+        (loop_detector.cpp:243-303)."""
+        if kind == "prev":
+            # T_new_prev^-1 * T_new_best * T_best_prev ≈ I
+            cyc = se3np.pose_compose(
+                se3np.pose_compose(se3np.pose_inverse(rel_new_nb),
+                                   rel_new_best), odom_rel)
+        else:
+            # T_new_best^-1 * T_new_next * T_next_best ≈ I
+            cyc = se3np.pose_compose(
+                se3np.pose_compose(se3np.pose_inverse(rel_new_best),
+                                   rel_new_nb), odom_rel)
+        dt = float(np.linalg.norm(cyc[:3]))
+        da = se3np.rotation_angle(cyc[3:7])
+        return (dt <= self.cfg.loop_closure_consistency_max_delta_trans
+                and da <= self.cfg.loop_closure_consistency_max_delta_angle)

@@ -1,0 +1,182 @@
+"""Batched cloud-pair execution for the back-end tick.
+
+The reference back-end performs many independent cloud-vs-cloud operations
+per optimization tick, each a separate serial registration or kd-tree pass:
+
+- fitness for each new graph edge's information matrix
+  (information_matrix_calculator.cpp:46-81),
+- one full registration per loop-closure candidate
+  (loop_detector.cpp:97-188),
+- two more registrations for the odom-chain consistency check (:190-303).
+
+On a TPU behind a ~26 ms round-trip tunnel, dispatching those one by one
+costs more in latency than in compute. This module collects every pair the
+tick needs into ONE `ops.registration.align_pairs` dispatch:
+
+- per-keyframe GICP preprocessing (kNN/radius covariances) is computed once
+  per keyframe and cached on the keyframe (`PairRunner.gicp`), instead of
+  re-running `make_target`/`make_source` per use;
+- requests are padded to power-of-two buckets so the jitted program is
+  compiled for a handful of batch shapes only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RegistrationConfig
+from ..ops import registration as reg
+from ..ops.cloud import PointCloud
+from .keyframe import KeyFrame
+
+
+@dataclasses.dataclass
+class PairRequest:
+    """One row of the tick's pair program.
+
+    `max_iters = 0` means evaluate-only: no registration, just the fitness
+    of `source` moved by `init_pose` into `target` (edge information
+    weighting). `max_iters > 0` runs the batched Gauss-Newton first.
+    """
+
+    target: KeyFrame
+    source: KeyFrame
+    init_pose: np.ndarray
+    max_iters: int = 0
+    fitness_max_range: float = np.inf
+
+
+@dataclasses.dataclass
+class PairResult:
+    pose: np.ndarray
+    converged: bool
+    iterations: int
+    num_inliers: int
+    fitness_inf: float
+    fitness_range: float
+
+
+class PairRunner:
+    """Executes PairRequest batches through one jitted program."""
+
+    MIN_BUCKET = 4
+    MAX_BUCKET = 64  # requests beyond this run as multiple dispatches
+
+    def __init__(self, reg_cfg: RegistrationConfig):
+        if not reg.is_gicp_like(reg_cfg.registration_method):
+            # voxel-target methods (VGICP/NDT) build per-target voxel maps;
+            # the batched pair program covers the GICP family (the
+            # reference default, registrations.cpp:46). Fall back per-pair.
+            self.batched = False
+        else:
+            self.batched = True
+        self.reg_cfg = reg_cfg
+
+    # ------------------------------------------------------------------
+    def gicp(self, kf: KeyFrame):
+        """Per-keyframe GICP cloud (points+mask+covariances), cached.
+
+        The covariance pass is the expensive half of `make_source`; caching
+        it per keyframe removes the repeated `make_target` preprocessing
+        the round-1 consistency check paid per registration.
+        """
+        cached = getattr(kf, "_gicp_cache", None)
+        if cached is None:
+            cached = reg.make_source(kf.cloud, self.reg_cfg)
+            kf._gicp_cache = cached
+        return cached
+
+    def prefetch(self, kf: KeyFrame) -> None:
+        """Kick off (async) covariance computation for a new keyframe, so
+        admission amortizes the work outside the tick."""
+        self.gicp(kf)
+
+    # ------------------------------------------------------------------
+    def run(self, requests: List[PairRequest]) -> List[PairResult]:
+        if not requests:
+            return []
+        if not self.batched:
+            return [self._run_one(r) for r in requests]
+        out: List[PairResult] = []
+        for s in range(0, len(requests), self.MAX_BUCKET):
+            out.extend(self._run_bucket(requests[s: s + self.MAX_BUCKET]))
+        return out
+
+    def _run_bucket(self, requests: List[PairRequest]) -> List[PairResult]:
+        n = len(requests)
+        b = self.MIN_BUCKET
+        while b < n:
+            b *= 2
+        cap = requests[0].target.cloud.capacity
+        empty = None
+        tgt_p, tgt_m, tgt_c = [], [], []
+        src_p, src_m, src_c = [], [], []
+        inits, iters, ranges = [], [], []
+        for i in range(b):
+            if i < n:
+                r = requests[i]
+                tg, sg = self.gicp(r.target), self.gicp(r.source)
+                init = np.asarray(r.init_pose, np.float32)
+                mi, fr = r.max_iters, r.fitness_max_range
+            else:
+                if empty is None:
+                    ec = PointCloud.empty(cap)
+                    empty = reg.GICPCloud(
+                        ec.points, ec.mask,
+                        jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
+                                         (cap, 3, 3)))
+                tg = sg = empty
+                init = np.asarray([0, 0, 0, 1, 0, 0, 0], np.float32)
+                mi, fr = 0, np.inf
+            tgt_p.append(tg.points); tgt_m.append(tg.mask)
+            tgt_c.append(tg.covs)
+            src_p.append(sg.points); src_m.append(sg.mask)
+            src_c.append(sg.covs)
+            inits.append(init); iters.append(mi); ranges.append(fr)
+
+        res = reg.align_pairs(
+            self.reg_cfg,
+            jnp.stack(tgt_p), jnp.stack(tgt_m), jnp.stack(tgt_c),
+            jnp.stack(src_p), jnp.stack(src_m), jnp.stack(src_c),
+            jnp.asarray(np.stack(inits)),
+            jnp.asarray(np.asarray(iters, np.int32)),
+            jnp.asarray(np.asarray(ranges, np.float32)))
+        # ONE host sync for the whole bucket
+        pose = np.asarray(res.pose)
+        conv = np.asarray(res.converged)
+        its = np.asarray(res.iterations)
+        nin = np.asarray(res.num_inliers)
+        f_inf = np.asarray(res.fitness_inf)
+        f_rng = np.asarray(res.fitness_range)
+        return [PairResult(pose=pose[i], converged=bool(conv[i]),
+                           iterations=int(its[i]), num_inliers=int(nin[i]),
+                           fitness_inf=float(f_inf[i]),
+                           fitness_range=float(f_rng[i]))
+                for i in range(n)]
+
+    def _run_one(self, r: PairRequest) -> PairResult:
+        """Per-pair fallback for voxel-target methods."""
+        from ..ops.fitness import fitness_score
+
+        if r.max_iters > 0:
+            res = reg.align_clouds(self.reg_cfg, r.source.cloud,
+                                   r.target.cloud,
+                                   jnp.asarray(r.init_pose))
+            pose = np.asarray(res.pose)
+            conv, its = bool(res.converged), int(res.iterations)
+            nin = int(res.num_inliers)
+        else:
+            pose = np.asarray(r.init_pose, np.float32)
+            conv, its, nin = False, 0, 0
+        f_inf = float(fitness_score(r.target.cloud, r.source.cloud,
+                                    jnp.asarray(pose), jnp.inf))
+        f_rng = float(fitness_score(r.target.cloud, r.source.cloud,
+                                    jnp.asarray(pose),
+                                    jnp.float32(r.fitness_max_range)))
+        return PairResult(pose=pose, converged=conv, iterations=its,
+                          num_inliers=nin, fitness_inf=f_inf,
+                          fitness_range=f_rng)

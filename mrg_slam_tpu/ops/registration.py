@@ -128,21 +128,15 @@ def _correspondences(method: str, params: RegistrationConfig,
     return q, vox.covs[idx], src_mask & found & gate
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def align(params: RegistrationConfig, source: GICPCloud,
-          target: RegistrationTarget,
-          init_pose: jnp.ndarray) -> RegistrationResult:
-    """Register `source` onto `target` starting from `init_pose` (7-vec).
-
-    Equivalent surface to `pcl::Registration::align` with the reference's
-    reg_* parameters (registrations.cpp:34-43); returns the full GN Hessian
-    for downstream information-matrix use.
-    """
+def _align_impl(params: RegistrationConfig, source: GICPCloud,
+                target: RegistrationTarget, init_pose: jnp.ndarray,
+                max_iters) -> RegistrationResult:
+    """align() body; `max_iters` may be a python int or a traced scalar
+    (the batched pair program passes a per-pair budget, 0 = evaluate-only)."""
     method = params.registration_method
     use_source_covs = method not in ("ICP", "NDT", "NDT_OMP")
     eps_t = params.reg_transformation_epsilon
     eps_r = params.reg_transformation_epsilon
-    max_iters = params.reg_maximum_iterations
 
     p = source.points
     src_mask = source.mask
@@ -188,8 +182,27 @@ def align(params: RegistrationConfig, source: GICPCloud,
     init = (init_pose.astype(jnp.float32), jnp.int32(0), jnp.bool_(False),
             jnp.float32(jnp.inf), jnp.int32(0), jnp.zeros((6, 6), jnp.float32))
     pose, iters, done, err, n_in, H = jax.lax.while_loop(cond, body, init)
-    return RegistrationResult(pose=pose, converged=done, iterations=iters,
+    # hasConverged() semantics (small_gicp): the update-norm criterion was
+    # hit within the iteration budget AND correspondences existed at the
+    # solution. Running out of iterations or losing all correspondences is
+    # NOT convergence (loop_detector.cpp:150-155 rejects such candidates).
+    return RegistrationResult(pose=pose, converged=done & (n_in > 0),
+                              iterations=iters,
                               error=err, num_inliers=n_in, hessian=H)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def align(params: RegistrationConfig, source: GICPCloud,
+          target: RegistrationTarget,
+          init_pose: jnp.ndarray) -> RegistrationResult:
+    """Register `source` onto `target` starting from `init_pose` (7-vec).
+
+    Equivalent surface to `pcl::Registration::align` with the reference's
+    reg_* parameters (registrations.cpp:34-43); returns the full GN Hessian
+    for downstream information-matrix use.
+    """
+    return _align_impl(params, source, target, init_pose,
+                       params.reg_maximum_iterations)
 
 
 def align_clouds(params: RegistrationConfig, source_cloud: PointCloud,
@@ -199,3 +212,68 @@ def align_clouds(params: RegistrationConfig, source_cloud: PointCloud,
     src = make_source(source_cloud, params)
     tgt = make_target(target_cloud, params)
     return align(params, src, tgt, init_pose)
+
+
+class PairResults(NamedTuple):
+    """Batched pair-program outputs (one row per requested pair)."""
+
+    pose: jnp.ndarray           # (B,7) final (or initial, if max_iters=0)
+    converged: jnp.ndarray      # (B,) bool
+    iterations: jnp.ndarray     # (B,) int32
+    num_inliers: jnp.ndarray    # (B,) int32
+    fitness_inf: jnp.ndarray    # (B,) mean NN sq-dist at `pose`, no gate
+    fitness_range: jnp.ndarray  # (B,) same, gated to fitness_max_range
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def align_pairs(params: RegistrationConfig,
+                tgt_points: jnp.ndarray, tgt_mask: jnp.ndarray,
+                tgt_covs: jnp.ndarray,
+                src_points: jnp.ndarray, src_mask: jnp.ndarray,
+                src_covs: jnp.ndarray,
+                init_poses: jnp.ndarray, max_iters: jnp.ndarray,
+                fitness_max_range: jnp.ndarray) -> PairResults:
+    """THE back-end tick program: every cloud pair the tick needs, in one
+    dispatch.
+
+    The reference runs these serially — one registration per loop candidate
+    (loop_detector.cpp:97-188), two more for the consistency check
+    (:190-303), plus a kd-tree fitness pass per new graph edge
+    (information_matrix_calculator.cpp:46). Here all of them are rows of one
+    vmapped program over stacked (target, source) GICP clouds:
+
+    - `max_iters[b] = 0` rows are evaluate-only (edge fitness at the given
+      relative pose, no registration);
+    - `max_iters[b] > 0` rows run the Gauss-Newton alignment first;
+    - both fitness flavors come out of ONE shared NN pass at the final
+      pose: ungated (information matrices use max_range = inf) and gated to
+      `fitness_max_range[b]` (loop acceptance, loop_detector.cpp:156).
+
+    Under the remote-TPU tunnel this turns ~10 round trips per tick into
+    one dispatch + one fetch.
+    """
+
+    def one(tp, tm, tc, sp, sm, sc, ip, mi, fr):
+        src = GICPCloud(sp, sm, sc)
+        tgt = RegistrationTarget(gicp=GICPCloud(tp, tm, tc))
+        res = _align_impl(params, src, tgt, ip, mi)
+        moved = se3.pose_apply(res.pose, sp)
+        d2, _ = knn.nearest_neighbor(moved, tp, tm)
+        ok = sm & jnp.isfinite(d2)
+        n_inf = jnp.sum(ok.astype(jnp.int32))
+        fit_inf = jnp.where(n_inf > 0,
+                            jnp.sum(jnp.where(ok, d2, 0.0))
+                            / jnp.maximum(n_inf, 1), jnp.inf)
+        okr = ok & (d2 <= fr * fr)
+        n_r = jnp.sum(okr.astype(jnp.int32))
+        fit_r = jnp.where(n_r > 0,
+                          jnp.sum(jnp.where(okr, d2, 0.0))
+                          / jnp.maximum(n_r, 1), jnp.inf)
+        return PairResults(pose=res.pose, converged=res.converged,
+                           iterations=res.iterations,
+                           num_inliers=res.num_inliers,
+                           fitness_inf=fit_inf, fitness_range=fit_r)
+
+    return jax.vmap(one)(tgt_points, tgt_mask, tgt_covs,
+                         src_points, src_mask, src_covs,
+                         init_poses, max_iters, fitness_max_range)

@@ -118,7 +118,7 @@ def config3_floor_augmented(n_frames=100) -> Dict:
     frames = [(i * 0.1, world.scan(p, seed=i)) for i, p in enumerate(traj)]
     robot = Robot(cfg)
     res = replay(robot, frames, tick_every=20, gt_xyz=traj[:, :3])
-    n_plane_edges = len(robot.slam.db.graph._pl_edges)
+    n_plane_edges = robot.slam.db.graph.num_plane_edges
     return {"config": "3_floor_augmented", "ate_rmse": res.ate,
             "plane_edges": n_plane_edges, "loops": res.num_loops,
             "frames": n_frames, "frames_per_s": res.frames_per_s}
@@ -175,22 +175,20 @@ def config4_two_robot(n_frames=100) -> Dict:
             "frames": n_frames}
 
 
-def config5_distributed(n_nodes=256, n_devices=8) -> Dict:
-    import jax
-
-    if len(jax.devices()) < n_devices:
-        jax.config.update("jax_platforms", "cpu")
+def build_ring_graph(n_nodes=256, capacity_nodes=None, capacity_edges=None,
+                     backend="cg", seed=3, noise_scale=0.03):
+    """Noisy ring pose graph with one loop edge — the synthetic workload
+    for solver benchmarks and the distributed-parity config."""
     from ..config import OptimizerConfig
-    from ..graph import solve
     from ..graph.builder import GraphSLAM
-    from ..parallel import dist_solver
     from ..utils import se3
     import jax.numpy as jnp
 
-    rng = np.random.default_rng(3)
+    rng = np.random.default_rng(seed)
     info = np.diag([100.0] * 3 + [400.0] * 3).astype(np.float32)
-    gs = GraphSLAM(OptimizerConfig(solver_backend="cg"),
-                   capacity_nodes=max(n_nodes, 64) , capacity_edges=2 * n_nodes)
+    gs = GraphSLAM(OptimizerConfig(solver_backend=backend),
+                   capacity_nodes=capacity_nodes or max(n_nodes, 64),
+                   capacity_edges=capacity_edges or 2 * n_nodes)
     gt, est, ids = [], [], []
     for i in range(n_nodes):
         th = 2 * np.pi * i / n_nodes
@@ -203,7 +201,7 @@ def config5_distributed(n_nodes=256, n_devices=8) -> Dict:
         rel = np.asarray(se3.pose_between(jnp.asarray(gt[i - 1]),
                                           jnp.asarray(gt[i])))
         noise = np.asarray(se3.pose_exp(jnp.asarray(
-            rng.normal(scale=0.03, size=6).astype(np.float32))))
+            rng.normal(scale=noise_scale, size=6).astype(np.float32))))
         reln = np.asarray(se3.pose_compose(jnp.asarray(rel),
                                            jnp.asarray(noise)))
         est.append(np.asarray(se3.pose_compose(jnp.asarray(est[-1]),
@@ -212,6 +210,19 @@ def config5_distributed(n_nodes=256, n_devices=8) -> Dict:
         gs.add_se3_edge(ids[i - 1], ids[i], reln, info)
     gs.add_se3_edge(ids[-1], ids[0], np.asarray(se3.pose_between(
         jnp.asarray(gt[-1]), jnp.asarray(gt[0]))), info * 4)
+    return gs
+
+
+def config5_distributed(n_nodes=256, n_devices=8) -> Dict:
+    import jax
+
+    if len(jax.devices()) < n_devices:
+        jax.config.update("jax_platforms", "cpu")
+    from ..config import OptimizerConfig
+    from ..graph import solve
+    from ..parallel import dist_solver
+
+    gs = build_ring_graph(n_nodes=n_nodes)
     g = gs.snapshot()
     cfg = OptimizerConfig(solver_backend="cg", g2o_solver_num_iterations=40)
     single = solve.optimize(g, cfg)
