@@ -196,6 +196,7 @@ class MrgSlam:
         flushed = bool(pending_edges)
         flushed |= self.db.flush_static_keyframe_queue()
         flushed |= self.db.flush_graph_queue(self.loop_detector.loop_manager)
+        flushed |= self.db.flush_loaded_graph(self.loop_detector.loop_manager)
         own_kfs = self.db.own_keyframes()
         flushed |= self.floor_processor.flush(self.db, own_kfs)
         flushed |= self.gps_processor.flush(self.db, own_kfs)

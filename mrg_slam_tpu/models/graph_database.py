@@ -284,6 +284,90 @@ class GraphDatabase:
         return True
 
     # ------------------------------------------------------------------
+    # flush: loaded graphs (checkpoint resume, multi-session continuation)
+    # ------------------------------------------------------------------
+    def add_loaded_graph(self, keyframes: Sequence[KeyFrame],
+                         edges: Sequence[Edge]) -> None:
+        """Queue a persisted graph read by models/persistence.load_graph
+        (load_graph_service -> loaded queue, graph_database.cpp:393-483)."""
+        self.loaded_graph_queue.append((list(keyframes), list(edges)))
+
+    def flush_loaded_graph(self, loop_manager=None) -> bool:
+        """graph_database.cpp:486-568: merge loaded keyframes/edges.
+
+        Differences from the remote-exchange merge (`flush_graph_queue`):
+        nodes are created at the saved ESTIMATES, static keyframes become
+        fixed nodes and graduate directly, anchor edges re-attach to OUR
+        anchor node (created on demand when loading into a fresh graph),
+        and loaded loop edges register with accum-distance-keeps-newest
+        semantics. Robust kernels come from the per-edge values persisted
+        in data.txt (the reference reassigns them from config, :512-515 —
+        restoring the saved kernel is strictly more faithful to the saved
+        graph and identical under default configs).
+        """
+        if not self.loaded_graph_queue:
+            return False
+        batches, self.loaded_graph_queue = self.loaded_graph_queue, []
+        for keyframes, edges in batches:
+            for kf in keyframes:
+                if kf.uuid in self.uuid_keyframe_map:
+                    continue
+                kf.node_id = self.graph.add_se3_node(
+                    kf.odom if kf.estimate_loaded is None
+                    else kf.estimate_loaded, fixed=kf.static_keyframe)
+                self.uuid_keyframe_map[kf.uuid] = kf
+                if kf.static_keyframe:
+                    self.keyframes.append(kf)
+                else:
+                    self.new_keyframes.append(kf)
+            for edge in edges:
+                if edge.uuid in self.edge_uuids:
+                    continue
+                if edge.type == EDGE_ANCHOR:
+                    kf_from = self._own_anchor_for_load(edge)
+                else:
+                    kf_from = self.uuid_keyframe_map.get(edge.from_uuid)
+                kf_to = self.uuid_keyframe_map.get(edge.to_uuid)
+                if kf_from is None or kf_to is None:
+                    continue
+                edge.edge_id = self.graph.add_se3_edge(
+                    kf_from.node_id, kf_to.node_id, edge.relative_pose,
+                    edge.information, kernel=edge.robust_kernel,
+                    kernel_delta=edge.robust_kernel_size)
+                self._register_edge(edge)
+                if edge.type == EDGE_ODOM:
+                    # reference guards prev-edge wiring on counter > 1
+                    # (graph_database.cpp:545-552)
+                    if kf_from.odom_counter > 1:
+                        kf_from.prev_edge = edge
+                    kf_to.next_edge = edge
+                if edge.type == EDGE_LOOP and loop_manager is not None:
+                    loop_manager.add_loop_accum_distance_check(
+                        Loop(key1=kf_from, key2=kf_to,
+                             relative_pose=edge.relative_pose))
+        return True
+
+    def _own_anchor_for_load(self, edge: Edge) -> KeyFrame:
+        """Anchor edges in a loaded graph re-attach to OUR anchor node
+        (graph_database.cpp:518-521); when loading into a fresh graph the
+        anchor is created here, fixed at identity."""
+        if self.anchor_kf is None:
+            anchor_id = self.graph.add_se3_node(se3np.pose_identity(),
+                                                fixed=True)
+            self.anchor_kf = KeyFrame(
+                robot_name=self.own_name, stamp=0.0,
+                odom=se3np.pose_identity(), accum_distance=-1.0,
+                cloud=PointCloud.empty(1), slam_uuid=self.slam_uuid,
+                odom_counter=-1)
+            self.anchor_kf.node_id = anchor_id
+            self.uuid_keyframe_map[self.anchor_kf.uuid] = self.anchor_kf
+            self.anchor_edge = edge
+        # alias the loaded anchor uuid to our anchor so re-saves and g2o
+        # export resolve the edge without rewriting its stored uuids
+        self.uuid_keyframe_map.setdefault(edge.from_uuid, self.anchor_kf)
+        return self.anchor_kf
+
+    # ------------------------------------------------------------------
     # loops
     # ------------------------------------------------------------------
     def insert_loops(self, loops: Sequence[Loop]) -> None:

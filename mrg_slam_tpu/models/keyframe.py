@@ -37,8 +37,14 @@ class KeyFrame:
     first_keyframe: bool = False
     static_keyframe: bool = False
     node_id: Optional[int] = None    # graph node index once flushed
+    # saved estimate a loaded keyframe's node is created at
+    # (estimate_transform, graph_database.cpp:500)
+    estimate_loaded: Optional[np.ndarray] = None
+    # optional sensor attachments, persisted like keyframe.cpp:88-104
     floor_coeffs: Optional[np.ndarray] = None
     utm_coord: Optional[np.ndarray] = None
+    acceleration: Optional[np.ndarray] = None   # (3,) base-frame acc
+    orientation: Optional[np.ndarray] = None    # (4,) wxyz base-frame quat
     prev_edge: Optional["Edge"] = None  # odom edge (from=this, to=prev kf)
     next_edge: Optional["Edge"] = None  # odom edge (from=next kf, to=this)
 

@@ -24,9 +24,9 @@ import numpy as np
 
 from ..io.pcd import load_pcd, save_pcd
 from ..ops.cloud import PointCloud
-from ..parallel.messages import EdgeMsg, GraphMsg, KeyFrameMsg
+
 from .backend import MrgSlam
-from .keyframe import EDGE_ANCHOR
+
 
 
 def _fmt_pose(p: np.ndarray) -> str:
@@ -57,6 +57,15 @@ def save_graph(slam: MrgSlam, directory: str) -> int:
                     f"accum_distance {kf.accum_distance:.9f}\n"
                     f"estimate {_fmt_pose(est)}\n"
                     f"odom {_fmt_pose(kf.odom)}\n")
+            # optional sensor attachments (keyframe.cpp:88-104)
+            if kf.floor_coeffs is not None:
+                f.write(f"floor_coeffs {_fmt_pose(kf.floor_coeffs)}\n")
+            if kf.utm_coord is not None:
+                f.write(f"utm_coord {_fmt_pose(kf.utm_coord)}\n")
+            if kf.acceleration is not None:
+                f.write(f"acceleration {_fmt_pose(kf.acceleration)}\n")
+            if kf.orientation is not None:
+                f.write(f"orientation {_fmt_pose(kf.orientation)}\n")
         save_pcd(kdir / "cloud.pcd", kf.cloud.to_numpy())
 
     for i, e in enumerate(db.edges):
@@ -94,7 +103,8 @@ def save_graph(slam: MrgSlam, directory: str) -> int:
                        if db.anchor_edge is not None else -1)
         f.write(f"anchor_node,{anchor_node}\n")
         f.write(f"anchor_edge,{anchor_edge}\n")
-        f.write("floor_node,-1\n")
+        floor_node = slam.floor_processor.plane_node_id
+        f.write(f"floor_node,{-1 if floor_node is None else floor_node}\n")
 
     zero_utm = slam.gps_processor.zero_utm
     if zero_utm is not None:
@@ -143,33 +153,53 @@ def _save_g2o(db, path) -> None:
                     + " ".join(f"{v:.9f}" for v in upper) + "\n")
 
 
+def _vec(text: str) -> np.ndarray:
+    return np.asarray([float(v) for v in text.split()], np.float32)
+
+
 def load_graph(slam: MrgSlam, directory: str,
                cloud_capacity: Optional[int] = None) -> int:
     """Read a saved graph and queue it for uuid-dedup merge on the next
-    optimization tick (load_graph_service -> flush_loaded_graph semantics).
+    optimization tick (load_graph_service -> flush_loaded_graph,
+    graph_database.cpp:393-568).
 
-    Returns the number of keyframes queued.
+    Full fidelity restore: keyframe sensor attachments (floor/UTM/IMU),
+    per-edge robust kernels, anchor-edge re-attachment, static-keyframe
+    fixing. Returns the number of keyframes queued.
     """
+    from .keyframe import Edge, KeyFrame
+
     d = Path(directory)
     cap = cloud_capacity or slam.cfg.capacity_keyframe_points
-    kmsgs: List[KeyFrameMsg] = []
+    kfs: List[KeyFrame] = []
     for kdir in sorted((d / "keyframes").iterdir()):
         meta = {}
         for line in (kdir / "data.txt").read_text().splitlines():
             key, _, val = line.partition(" ")
             meta[key] = val
+        if meta["uuid_str"] in slam.db.uuid_keyframe_map:
+            continue  # uuid dedup (graph_database.cpp:456-459)
         pts = load_pcd(kdir / "cloud.pcd")
-        kmsgs.append(KeyFrameMsg(
-            robot_name=meta["robot_name"], uuid=meta["uuid_str"],
-            slam_uuid=meta["slam_uuid_str"], stamp=float(meta["stamp"]),
+        kf = KeyFrame(
+            robot_name=meta["robot_name"], stamp=float(meta["stamp"]),
+            odom=_vec(meta["odom"]),
+            accum_distance=float(meta["accum_distance"]),
+            cloud=PointCloud.from_array(pts, capacity=cap),
+            uuid=meta["uuid_str"], slam_uuid=meta["slam_uuid_str"],
             odom_counter=int(meta["odom_counter"]),
             first_keyframe=bool(int(meta["first_keyframe"])),
-            static_keyframe=bool(int(meta["static_keyframe"])),
-            accum_distance=float(meta["accum_distance"]),
-            estimate=np.asarray([float(v) for v in
-                                 meta["estimate"].split()], np.float32),
-            cloud=PointCloud.from_array(pts, capacity=cap)))
-    emsgs: List[EdgeMsg] = []
+            static_keyframe=bool(int(meta["static_keyframe"])))
+        kf.estimate_loaded = _vec(meta["estimate"])
+        if "floor_coeffs" in meta:
+            kf.floor_coeffs = _vec(meta["floor_coeffs"])
+        if "utm_coord" in meta:
+            kf.utm_coord = _vec(meta["utm_coord"])
+        if "acceleration" in meta:
+            kf.acceleration = _vec(meta["acceleration"])
+        if "orientation" in meta:
+            kf.orientation = _vec(meta["orientation"])
+        kfs.append(kf)
+    edges: List[Edge] = []
     edges_dir = d / "edges"
     if edges_dir.exists():
         for edir in sorted(edges_dir.iterdir()):
@@ -177,23 +207,71 @@ def load_graph(slam: MrgSlam, directory: str,
             for line in (edir / "data.txt").read_text().splitlines():
                 key, _, val = line.partition(" ")
                 meta[key] = val
-            if meta["type"] == EDGE_ANCHOR:
+            if meta["uuid_str"] in slam.db.edge_uuids:
                 continue
-            emsgs.append(EdgeMsg(
+            edges.append(Edge(
                 type=meta["type"], uuid=meta["uuid_str"],
                 from_uuid=meta["from_uuid_str"],
                 to_uuid=meta["to_uuid_str"],
-                relative_pose=np.asarray(
-                    [float(v) for v in meta["relative_pose"].split()],
-                    np.float32),
-                information=np.asarray(
-                    [float(v) for v in meta["information"].split()],
-                    np.float32).reshape(6, 6)))
-    if kmsgs:
-        latest = max(kmsgs, key=lambda k: k.stamp)
-        slam.db.add_graph_msg(GraphMsg(
-            robot_name=kmsgs[0].robot_name,
-            latest_keyframe_uuid=latest.uuid,
-            latest_keyframe_odom=latest.estimate,
-            keyframes=kmsgs, edges=emsgs))
-    return len(kmsgs)
+                relative_pose=_vec(meta["relative_pose"]),
+                information=_vec(meta["information"]).reshape(6, 6),
+                robust_kernel=meta.get("robust_kernel", "NONE"),
+                robust_kernel_size=float(
+                    meta.get("robust_kernel_size", 1.0))))
+    if kfs or edges:
+        slam.db.add_loaded_graph(kfs, edges)
+    return len(kfs)
+
+
+def load_g2o(path: str, kernels_path: Optional[str] = None):
+    """Import a bare .g2o text file (+ optional robust-kernel sidecar) into
+    a fresh GraphSLAM builder — GraphSLAM::load interop
+    (graph_slam.cpp:445-457 + robust_kernel_io.cpp:44-151).
+
+    Reads VERTEX_SE3:QUAT / EDGE_SE3:QUAT / FIX lines (g2o stores quats
+    xyzw; the builder's pose layout is wxyz). Kernel sidecar rows are
+    `from_id to_id kernel_name delta`, matched by vertex-id pair.
+    """
+    from ..graph.builder import GraphSLAM
+
+    vertices = {}
+    edges = []
+    fixed = set()
+    for line in Path(path).read_text().splitlines():
+        parts = line.split()
+        if not parts:
+            continue
+        if parts[0] == "VERTEX_SE3:QUAT":
+            vid = int(parts[1])
+            x, y, z, qx, qy, qz, qw = (float(v) for v in parts[2:9])
+            vertices[vid] = np.asarray([x, y, z, qw, qx, qy, qz],
+                                       np.float32)
+        elif parts[0] == "FIX":
+            fixed.add(int(parts[1]))
+        elif parts[0] == "EDGE_SE3:QUAT":
+            a, b = int(parts[1]), int(parts[2])
+            x, y, z, qx, qy, qz, qw = (float(v) for v in parts[3:10])
+            upper = np.asarray([float(v) for v in parts[10:31]])
+            info = np.zeros((6, 6), np.float32)
+            info[np.triu_indices(6)] = upper
+            info = info + np.triu(info, 1).T
+            edges.append((a, b,
+                          np.asarray([x, y, z, qw, qx, qy, qz], np.float32),
+                          info))
+    kernels = {}
+    if kernels_path and Path(kernels_path).exists():
+        for line in Path(kernels_path).read_text().splitlines():
+            parts = line.split()
+            if len(parts) == 4:
+                kernels[(int(parts[0]), int(parts[1]))] = (
+                    parts[2], float(parts[3]))
+    gs = GraphSLAM(capacity_nodes=max(64, len(vertices)),
+                   capacity_edges=max(64, len(edges)))
+    id_map = {}
+    for vid in sorted(vertices):
+        id_map[vid] = gs.add_se3_node(vertices[vid], fixed=vid in fixed)
+    for a, b, meas, info in edges:
+        kernel, delta = kernels.get((a, b), ("NONE", 1.0))
+        gs.add_se3_edge(id_map[a], id_map[b], meas, info,
+                        kernel=kernel, kernel_delta=delta)
+    return gs

@@ -155,6 +155,9 @@ class ImuProcessor:
             bq = jnp.asarray(self.base_T_imu[3:7])
             quat_base = np.asarray(se3.quat_mul(bq, jnp.asarray(best.quat)))
             acc_base = np.asarray(se3.quat_rotate(bq, jnp.asarray(best.acc)))
+            # attach to the keyframe for persistence (keyframe.cpp:97-104)
+            kf.orientation = quat_base
+            kf.acceleration = acc_base
             if c.enable_imu_orientation:
                 info = np.eye(3) / (c.imu_orientation_edge_stddev ** 2)
                 db.graph.add_se3_prior_quat_edge(
