@@ -94,7 +94,15 @@ def main():
         registration=dataclasses.replace(reg, reg_maximum_iterations=24),
         optimizer=OptimizerConfig(solver_backend="dense",
                                   g2o_solver_num_iterations=64),
-        loop=dataclasses.replace(LoopClosureConfig(), capacity_candidates=4),
+        # fitness_score_max_range gates the acceptance fitness to the
+        # correspondence radius. Measured on this workload (BENCH r2 debug):
+        # at the reference default inf, capacity-truncated 4096-pt voxel
+        # subsets inflate the ungated mean-NN fitness and 0/13 candidate
+        # sets pass; at 2.0 m, 8 loops close and SLAM ATE drops 2.19 m ->
+        # 0.53 m vs odometry. The reference exposes the param for exactly
+        # this gating (loop_detector.cpp:156).
+        loop=dataclasses.replace(LoopClosureConfig(), capacity_candidates=4,
+                                 fitness_score_max_range=2.0),
         robot_remove_points_radius=0.0)
 
     traj, scans = build_world_and_scans()
@@ -136,11 +144,17 @@ def main():
 
     n_kf = len(slam.db.keyframes) + len(slam.db.new_keyframes)
     n_loops = sum(1 for e in slam.db.edges if e.type == "loop")
-    traj_est = slam.trajectory()
-    end_err = float(np.linalg.norm(traj_est[-1][:2] - traj[-1][:2]))
+    from mrg_slam_tpu.utils.metrics import ate_rmse
+    te = slam.trajectory()
+    own = sorted(slam.db.own_keyframes(), key=lambda k: k.stamp)
+    idx = [int(round(k.stamp / 0.1)) for k in own]
+    ate = ate_rmse(te[:, :3], traj[idx][:, :3])
+    odo = np.stack([k.odom for k in own])
+    ate_odom = ate_rmse(odo[:, :3], traj[idx][:, :3])
     print(f"# full SLAM: {N_FRAMES} frames in {dt_slam:.3f}s "
           f"({fps_slam:.1f} fps); {n_kf} keyframes, {n_loops} loops, "
-          f"end-pose err {end_err:.2f} m", file=sys.stderr)
+          f"ATE {ate:.3f} m (odometry-only {ate_odom:.3f} m)",
+          file=sys.stderr)
 
     # front-end-only odometry rate (round-1 headline, for continuity)
     carry = fused.init_carry(FILTERED)
@@ -183,7 +197,7 @@ def main():
         "extra": {
             "scan_matching_odometry_frames_per_s": round(fps_odom, 2),
             "keyframes": n_kf, "loops": n_loops,
-            "end_pose_err_m": round(end_err, 3),
+            "ate_m": round(ate, 3), "ate_odometry_only_m": round(ate_odom, 3),
             "solve_1024_node_ms": round(dt_solve * 1e3, 1),
         },
     }))

@@ -87,6 +87,9 @@ class RegistrationConfig:
     reg_correspondence_randomness: int = 20  # k for GICP covariance kNN
     reg_resolution: float = 1.0  # NDT / VGICP voxel size
     reg_nn_search_method: str = "DIRECT7"  # DIRECT1 | DIRECT7 | DIRECT27
+    # NDT mixture outlier ratio for the Magnusson exponential score
+    # (pclomp ndt_omp.h outlier_ratio_ default)
+    reg_ndt_outlier_ratio: float = 0.55
     # TPU-specific: GICP covariance neighborhoods. "knn" = small_gicp's
     # k-nearest (k = reg_correspondence_randomness); "radius" = one-pass
     # radius moments (Pallas-accelerated, equivalent quality on

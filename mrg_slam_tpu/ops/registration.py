@@ -141,6 +141,28 @@ def _align_impl(params: RegistrationConfig, source: GICPCloud,
     p = source.points
     src_mask = source.mask
 
+    if method in ("NDT", "NDT_OMP"):
+        # Magnusson (2009) Gaussian+uniform mixture constants, as computed
+        # by pclomp (ndt_omp_impl.hpp computeDerivatives): the score per
+        # correspondence is -d1 * exp(-d2/2 * r^T Sigma^-1 r). In the
+        # shared IRLS-GN core this becomes a per-correspondence scalar
+        # weight d2 * exp(-d2/2 * m): the exponential saturates the
+        # influence of poor matches, reproducing NDT's wide, soft
+        # convergence basin (vs. the quadratic P2D objective round 1 used).
+        import math as _math
+
+        out_ratio = params.reg_ndt_outlier_ratio
+        res3 = params.reg_resolution ** 3
+        c1 = 10.0 * (1.0 - out_ratio)
+        c2 = out_ratio / res3
+        d3 = -_math.log(c2)
+        d1 = -_math.log(c1 + c2) - d3
+        d2 = -2.0 * _math.log(
+            (-_math.log(c1 * _math.exp(-0.5) + c2) - d3) / d1)
+        ndt_d2 = jnp.float32(d2)
+    else:
+        ndt_d2 = None
+
     def gn_step(pose):
         R = se3.pose_rotation(pose)
         p_world = se3.pose_apply(pose, p)
@@ -153,6 +175,9 @@ def _align_impl(params: RegistrationConfig, source: GICPCloud,
         else:
             W = inv3x3(Cq)
         w = valid.astype(jnp.float32)
+        if ndt_d2 is not None:
+            m = jnp.einsum("na,nab,nb->n", r, W, r)
+            w = w * ndt_d2 * jnp.exp(-0.5 * ndt_d2 * m)
         W = W * w[:, None, None]
         # J = [-R, R skew(p)] : (N,3,6)
         Rskew = jnp.einsum("ab,nbc->nac", R, se3.skew(p))

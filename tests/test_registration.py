@@ -54,8 +54,11 @@ def test_align_recovers_transform(rng, method):
     terr = np.linalg.norm(est[:3] - gt_np[:3])
     rerr = float(se3.rotation_angle(
         se3.pose_quat(se3.pose_between(jnp.asarray(est), gt))))
-    tol_t = 0.05 if method in ("ICP", "SMALL_GICP") else 0.15
-    tol_r = 0.01 if method in ("ICP", "SMALL_GICP") else 0.03
+    # NDT with the Magnusson exponential weighting matches GICP accuracy
+    # on this scene; VGICP quantizes the target to voxel Gaussians and is
+    # allowed 2x
+    tol_t = 0.10 if method == "FAST_VGICP" else 0.05
+    tol_r = 0.02 if method == "FAST_VGICP" else 0.01
     assert terr < tol_t, f"{method}: trans err {terr}"
     assert rerr < tol_r, f"{method}: rot err {rerr}"
     assert int(res.num_inliers) > 500
