@@ -62,12 +62,29 @@ def init_carry(capacity: int) -> OdomCarry:
         initialized=jnp.bool_(False))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+def _split_odom(cfg: ScanMatchingOdometryConfig):
+    """Static program identity vs traced thresholds (see reg.split_reg)."""
+    stat, reg_dyn = reg.split_reg(cfg.registration)
+    dyn = dict(reg=reg_dyn,
+               kf_trans=jnp.float32(cfg.keyframe_delta_translation),
+               kf_angle=jnp.float32(cfg.keyframe_delta_angle),
+               kf_time=jnp.float32(cfg.keyframe_delta_time))
+    return stat, dyn
+
+
 def odometry_step(cfg: ScanMatchingOdometryConfig, carry: OdomCarry,
                   points: jnp.ndarray, mask: jnp.ndarray,
                   stamp: jnp.ndarray) -> Tuple[OdomCarry, OdomStepOut]:
     """One fully-jitted frame-to-keyframe odometry step (GICP family)."""
-    params = cfg.registration
+    stat, dyn = _split_odom(cfg)
+    return _odometry_step_split(stat, dyn, carry, points, mask, stamp)
+
+
+@functools.partial(jax.jit, static_argnames=("stat",))
+def _odometry_step_split(stat, dyn, carry: OdomCarry,
+                         points: jnp.ndarray, mask: jnp.ndarray,
+                         stamp: jnp.ndarray) -> Tuple[OdomCarry, OdomStepOut]:
+    params = reg.RegView(stat, dyn["reg"])
     assert reg.is_gicp_like(params.registration_method), (
         "fused odometry supports the GICP family; use models.odometry for "
         "voxel-target methods")
@@ -77,7 +94,8 @@ def odometry_step(cfg: ScanMatchingOdometryConfig, carry: OdomCarry,
     guess = se3.pose_compose(carry.prev_rel, carry.last_delta)
     target = reg.RegistrationTarget(gicp=GICPCloud(
         carry.target_points, carry.target_mask, carry.target_covs))
-    result = reg.align(params, source, target, guess)
+    result = reg._align_impl(params, source, target, guess,
+                             params.reg_maximum_iterations)
 
     finite = jnp.isfinite(result.pose).all()
     rel = jnp.where(finite, result.pose, carry.prev_rel)
@@ -88,9 +106,9 @@ def odometry_step(cfg: ScanMatchingOdometryConfig, carry: OdomCarry,
     dt = jnp.linalg.norm(rel[:3])
     da = se3.rotation_angle(rel[3:7])
     dtime = stamp - carry.keyframe_stamp
-    new_kf = ((dt > cfg.keyframe_delta_translation)
-              | (da > cfg.keyframe_delta_angle)
-              | (dtime > cfg.keyframe_delta_time)
+    new_kf = ((dt > dyn["kf_trans"])
+              | (da > dyn["kf_angle"])
+              | (dtime > dyn["kf_time"])
               | ~carry.initialized)
 
     # first frame: become the keyframe at identity with identity rel
@@ -116,7 +134,6 @@ def odometry_step(cfg: ScanMatchingOdometryConfig, carry: OdomCarry,
     return carry2, out
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
 def run_batch(cfg: ScanMatchingOdometryConfig, carry: OdomCarry,
               points: jnp.ndarray, masks: jnp.ndarray,
               stamps: jnp.ndarray) -> Tuple[OdomCarry, OdomStepOut]:
@@ -126,10 +143,17 @@ def run_batch(cfg: ScanMatchingOdometryConfig, carry: OdomCarry,
     sequence on device so the host pays one dispatch + one fetch per block
     instead of per frame.
     """
+    stat, dyn = _split_odom(cfg)
+    return _run_batch_split(stat, dyn, carry, points, masks, stamps)
 
+
+@functools.partial(jax.jit, static_argnames=("stat",))
+def _run_batch_split(stat, dyn, carry: OdomCarry,
+                     points: jnp.ndarray, masks: jnp.ndarray,
+                     stamps: jnp.ndarray) -> Tuple[OdomCarry, OdomStepOut]:
     def body(c, frame):
         pts, m, s = frame
-        c2, out = odometry_step(cfg, c, pts, m, s)
+        c2, out = _odometry_step_split(stat, dyn, c, pts, m, s)
         return c2, out
 
     return jax.lax.scan(body, carry, (points, masks, stamps))

@@ -76,7 +76,7 @@ def estimate_covariances(cloud: PointCloud, k: int = 20,
     return GICPCloud(points=cloud.points, mask=cloud.mask, covs=cov)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "chunk"))
+@functools.partial(jax.jit, static_argnames=("chunk",))
 def estimate_covariances_radius(cloud: PointCloud, radius: float = 1.0,
                                 chunk: int = 1024) -> GICPCloud:
     """Radius-neighborhood covariance per point, plane-regularized.

@@ -93,9 +93,17 @@ def knn(src: jnp.ndarray, tgt: jnp.ndarray, tgt_mask: jnp.ndarray,
     """
     n = src.shape[0]
     srcp = _pad_to_chunks(src, chunk).reshape(-1, chunk, 3)
+    on_tpu = jax.default_backend() not in ("cpu",)
 
     def body(s):
         d2 = _chunk_sqdist(s, tgt, tgt_mask)
+        if on_tpu:
+            # approx_min_k lowers to the TPU PartialReduce op — an order of
+            # magnitude cheaper than a full top_k sort over the lane dim.
+            # recall 0.95 is ample for covariance neighborhoods and
+            # mean-kNN-distance outlier statistics (the only consumers).
+            d2k, idx = jax.lax.approx_min_k(d2, k, recall_target=0.95)
+            return d2k, idx
         neg, idx = jax.lax.top_k(-d2, k)
         return -neg, idx
 

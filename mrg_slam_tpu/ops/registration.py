@@ -44,12 +44,49 @@ from .covariance import (GICPCloud, estimate_covariances,
 from .gaussian_voxel import GaussianVoxelMap, build_gaussian_voxel_map, lookup
 
 
-def _covariances(cloud: PointCloud, params: RegistrationConfig) -> GICPCloud:
+def _covariances(cloud: PointCloud, params) -> GICPCloud:
     if params.reg_covariance_mode == "radius":
         return estimate_covariances_radius(
             cloud, radius=params.reg_covariance_radius)
     return estimate_covariances(cloud,
                                 k=params.reg_correspondence_randomness)
+
+
+# ---------------------------------------------------------------------------
+# static/traced parameter split
+# ---------------------------------------------------------------------------
+# Changing ANY field of a config dataclass used as a jit static argument
+# invalidates every cached program (the round-1 suite paid ~17 min of
+# recompiles for a single default change; on the remote TPU each program
+# costs 30-90 s to rebuild). Only the fields that change program STRUCTURE
+# stay static — method dispatch, kNN size (a shape), branch flags. All
+# numeric thresholds ride as traced scalars, so runs differing only in
+# epsilons/radii/iteration caps share one compiled program.
+
+_REG_STATIC = ("registration_method", "reg_use_reciprocal_correspondences",
+               "reg_correspondence_randomness", "reg_nn_search_method",
+               "reg_covariance_mode")
+_REG_DYN_F32 = ("reg_transformation_epsilon",
+                "reg_max_correspondence_distance", "reg_resolution",
+                "reg_covariance_radius", "reg_ndt_outlier_ratio")
+
+
+class RegView:
+    """Mixed static/traced view of RegistrationConfig used inside traces."""
+
+    def __init__(self, stat: tuple, dyn: dict):
+        for f, v in zip(_REG_STATIC, stat):
+            setattr(self, f, v)
+        for f, v in dyn.items():
+            setattr(self, f, v)
+
+
+def split_reg(params: RegistrationConfig):
+    """-> (hashable static tuple, traced scalar pytree)."""
+    stat = tuple(getattr(params, f) for f in _REG_STATIC)
+    dyn = {f: jnp.float32(getattr(params, f)) for f in _REG_DYN_F32}
+    dyn["reg_maximum_iterations"] = jnp.int32(params.reg_maximum_iterations)
+    return stat, dyn
 
 
 class RegistrationResult(NamedTuple):
@@ -149,17 +186,14 @@ def _align_impl(params: RegistrationConfig, source: GICPCloud,
         # weight d2 * exp(-d2/2 * m): the exponential saturates the
         # influence of poor matches, reproducing NDT's wide, soft
         # convergence basin (vs. the quadratic P2D objective round 1 used).
-        import math as _math
-
-        out_ratio = params.reg_ndt_outlier_ratio
-        res3 = params.reg_resolution ** 3
+        out_ratio = jnp.float32(params.reg_ndt_outlier_ratio)
+        res3 = jnp.float32(params.reg_resolution) ** 3
         c1 = 10.0 * (1.0 - out_ratio)
         c2 = out_ratio / res3
-        d3 = -_math.log(c2)
-        d1 = -_math.log(c1 + c2) - d3
-        d2 = -2.0 * _math.log(
-            (-_math.log(c1 * _math.exp(-0.5) + c2) - d3) / d1)
-        ndt_d2 = jnp.float32(d2)
+        d3 = -jnp.log(c2)
+        d1 = -jnp.log(c1 + c2) - d3
+        ndt_d2 = -2.0 * jnp.log(
+            (-jnp.log(c1 * jnp.exp(jnp.float32(-0.5)) + c2) - d3) / d1)
     else:
         ndt_d2 = None
 
@@ -216,7 +250,13 @@ def _align_impl(params: RegistrationConfig, source: GICPCloud,
                               error=err, num_inliers=n_in, hessian=H)
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
+@functools.partial(jax.jit, static_argnames=("stat",))
+def _align_split(stat, dyn, source, target, init_pose):
+    p = RegView(stat, dyn)
+    return _align_impl(p, source, target, init_pose,
+                       p.reg_maximum_iterations)
+
+
 def align(params: RegistrationConfig, source: GICPCloud,
           target: RegistrationTarget,
           init_pose: jnp.ndarray) -> RegistrationResult:
@@ -224,10 +264,12 @@ def align(params: RegistrationConfig, source: GICPCloud,
 
     Equivalent surface to `pcl::Registration::align` with the reference's
     reg_* parameters (registrations.cpp:34-43); returns the full GN Hessian
-    for downstream information-matrix use.
+    for downstream information-matrix use. Numeric parameters are traced
+    (see split_reg) — two configs differing only in thresholds share one
+    compiled program.
     """
-    return _align_impl(params, source, target, init_pose,
-                       params.reg_maximum_iterations)
+    stat, dyn = split_reg(params)
+    return _align_split(stat, dyn, source, target, init_pose)
 
 
 def align_clouds(params: RegistrationConfig, source_cloud: PointCloud,
@@ -250,7 +292,6 @@ class PairResults(NamedTuple):
     fitness_range: jnp.ndarray  # (B,) same, gated to fitness_max_range
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
 def align_pairs(params: RegistrationConfig,
                 tgt_points: jnp.ndarray, tgt_mask: jnp.ndarray,
                 tgt_covs: jnp.ndarray,
@@ -277,6 +318,18 @@ def align_pairs(params: RegistrationConfig,
     Under the remote-TPU tunnel this turns ~10 round trips per tick into
     one dispatch + one fetch.
     """
+    stat, dyn = split_reg(params)
+    return _align_pairs_split(stat, dyn, tgt_points, tgt_mask, tgt_covs,
+                              src_points, src_mask, src_covs,
+                              init_poses, max_iters, fitness_max_range)
+
+
+@functools.partial(jax.jit, static_argnames=("stat",))
+def _align_pairs_split(stat, dyn, tgt_points, tgt_mask, tgt_covs,
+                       src_points, src_mask, src_covs,
+                       init_poses, max_iters,
+                       fitness_max_range) -> PairResults:
+    params = RegView(stat, dyn)
 
     def one(tp, tm, tc, sp, sm, sc, ip, mi, fr):
         src = GICPCloud(sp, sm, sc)

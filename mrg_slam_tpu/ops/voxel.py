@@ -82,8 +82,7 @@ def wrapped_key(points: jnp.ndarray, valid: jnp.ndarray,
     return jnp.where(valid, key, _INVALID_KEY)
 
 
-@functools.partial(jax.jit, static_argnames=("resolution", "min_points",
-                                             "capacity", "absolute_origin"))
+@functools.partial(jax.jit, static_argnames=("capacity", "absolute_origin"))
 def voxel_downsample(cloud: PointCloud, resolution: float,
                      min_points: int = 1,
                      capacity: Optional[int] = None,
@@ -133,7 +132,7 @@ def voxel_downsample(cloud: PointCloud, resolution: float,
     return PointCloud(means, mask)
 
 
-@functools.partial(jax.jit, static_argnames=("resolution", "min_neighbors"))
+@jax.jit
 def approximate_radius_mask(cloud: PointCloud, resolution: float,
                             min_neighbors: int) -> jnp.ndarray:
     """Voxel-bucketed approximation of radius outlier removal.
