@@ -110,6 +110,11 @@ class ScanMatchingOdometryConfig:
     max_acceptable_translation: float = 1.0
     max_acceptable_angle: float = 1.0
     max_consecutive_rejections: int = 5
+    # initial-guess sources (scan_matching_odometry_component.cpp:210-263):
+    # an MSF-filtered pose stream ("imu") or a secondary wheel/robot
+    # odometry ("odometry"); both are fed via ScanMatchingOdometry's
+    # msf_pose_callback / robot_odom_callback
+    enable_imu_frontend: bool = False
     enable_robot_odometry_init_guess: bool = False
     downsample_method: str = "NONE"
     downsample_resolution: float = 0.1

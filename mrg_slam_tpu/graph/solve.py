@@ -386,7 +386,6 @@ def _retract_all(g: PoseGraphData, dx_n, dx_p) -> PoseGraphData:
     return g._replace(poses=poses, planes=planes)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
 def optimize(g: PoseGraphData, cfg: OptimizerConfig) -> OptimizeResult:
     """Levenberg-Marquardt with chi2-based accept/reject.
 
@@ -394,9 +393,24 @@ def optimize(g: PoseGraphData, cfg: OptimizerConfig) -> OptimizeResult:
     outer loop (graph_slam.cpp:353); chi2 before/after are returned like the
     reference prints (:368-393). `gn_*` solver strings run with a fixed tiny
     damping (Gauss-Newton-ish); `lm_*` use adaptive lambda.
+
+    Only the backend/solver-type choice is a static jit argument; iteration
+    caps and tolerances ride as traced scalars so tuning them reuses the
+    compiled program (see ops.registration.split_reg for the rationale).
     """
-    is_lm = cfg.g2o_solver_type.startswith("lm")
-    max_outer = cfg.g2o_solver_num_iterations
+    stat = (cfg.solver_backend, cfg.g2o_solver_type.startswith("lm"))
+    dyn = dict(max_outer=jnp.int32(cfg.g2o_solver_num_iterations),
+               chi2_rel_tol=jnp.float32(cfg.chi2_rel_tol),
+               lam0=jnp.float32(cfg.lm_initial_lambda),
+               cg_max=jnp.int32(cfg.cg_max_iterations),
+               cg_tol=jnp.float32(cfg.cg_tol))
+    return _optimize_split(stat, dyn, g)
+
+
+@functools.partial(jax.jit, static_argnames=("stat",))
+def _optimize_split(stat, dyn, g: PoseGraphData) -> OptimizeResult:
+    solver_backend, is_lm = stat
+    max_outer = dyn["max_outer"]
 
     chi2_0 = chi2_only(g)
 
@@ -405,13 +419,24 @@ def optimize(g: PoseGraphData, cfg: OptimizerConfig) -> OptimizeResult:
         D_n, D_p = block_diagonal(g_, lin)
         d_n = jnp.diagonal(D_n, axis1=-2, axis2=-1)
         d_p = jnp.diagonal(D_p, axis1=-2, axis2=-1)
-        if cfg.solver_backend == "dense":
+        if solver_backend == "dense":
             H, b, free = assemble_dense(g_, lin)
             diag = jnp.diagonal(H)
             # absolute damping floor keeps H positive definite even when a
             # dof is unconstrained (e.g. a node with only a rotation prior)
             Hl = H + jnp.diag((lam * diag + 1e-6) * free)
-            x = jax.scipy.linalg.solve(Hl, b, assume_a="pos")
+            # f32 Cholesky on a raw pose-graph Hessian (condition ~1e6+)
+            # loses enough precision to stall LM; symmetric Jacobi
+            # equilibration plus one iterative-refinement step recovers
+            # near-f64 step quality at ~1 extra matmul
+            s = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(Hl), 1e-12))
+            Hs = Hl * s[:, None] * s[None, :]
+            bs = b * s
+            cf = jax.scipy.linalg.cho_factor(Hs)
+            y = jax.scipy.linalg.cho_solve(cf, bs)
+            y = y + jax.scipy.linalg.cho_solve(
+                cf, bs - Hs @ y)
+            x = y * s
             n = g_.n_nodes
             dx_n = x[: 6 * n].reshape(n, 6)
             dx_p = x[6 * n:].reshape(g_.n_planes, 3)
@@ -428,7 +453,7 @@ def optimize(g: PoseGraphData, cfg: OptimizerConfig) -> OptimizeResult:
             M_p = _inv_sym(damped_p)
             hvp = make_hvp(g_, lin)
             dx_n, dx_p = pcg_solve(hvp, -g_n, -g_p, M_n, M_p, lam, d_n, d_p,
-                                   cfg.cg_max_iterations, cfg.cg_tol)
+                                   dyn["cg_max"], dyn["cg_tol"])
         return dx_n, dx_p, lin.chi2
 
     def cond(s):
@@ -450,11 +475,11 @@ def optimize(g: PoseGraphData, cfg: OptimizerConfig) -> OptimizeResult:
             poses=jnp.where(accept, g_new.poses, g_.poses),
             planes=jnp.where(accept, g_new.planes, g_.planes))
         rel_improve = (chi2 - chi2_new) / jnp.maximum(chi2, 1e-12)
-        done_now = (accept & (rel_improve < cfg.chi2_rel_tol)) | (lam_next > 1e8)
+        done_now = (accept & (rel_improve < dyn["chi2_rel_tol"])) | (lam_next > 1e8)
         chi2_out = jnp.where(accept, chi2_new, chi2)
         return g_out, lam_next, chi2_out, it + 1, done_now
 
-    lam0 = jnp.float32(cfg.lm_initial_lambda if is_lm else 1e-9)
+    lam0 = jnp.where(is_lm, dyn["lam0"], jnp.float32(1e-9))
     state = (g, lam0, chi2_0, jnp.int32(0), jnp.bool_(False))
     g_fin, lam_fin, chi2_fin, iters, _ = jax.lax.while_loop(cond, body, state)
     return OptimizeResult(poses=g_fin.poses, planes=g_fin.planes,

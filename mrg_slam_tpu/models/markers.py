@@ -70,7 +70,12 @@ def graph_summary(slam: MrgSlam, with_marginals: bool = False,
         summary["loop_radius_circle"] = {"center": center.tolist(),
                                          "radius": loop_radius}
     if with_marginals and kfs:
-        cov = db.graph.compute_marginals(exact=True)
+        # prefer the covariances computed by the last optimization tick
+        # (mrg_slam_component.cpp:882-891 attaches marginals to every
+        # KeyFrameSnapshot); fall back to an on-demand exact pass
+        cov = db.graph.last_marginals
+        if cov is None:
+            cov = db.graph.compute_marginals(exact=True)
         ids = [k.node_id for k in kfs]
         summary["ellipsoids"] = covariance_ellipsoids(cov[ids])
     return summary

@@ -57,6 +57,48 @@ class ScanMatchingOdometry:
         self._last_delta = np.asarray(se3.pose_identity())  # scan-to-scan
         self._prev_pose = np.asarray(se3.pose_identity())
         self._rejections = 0
+        # external initial-guess sources (:152-158, :210-263)
+        self._msf_pose: Optional[tuple] = None               # (stamp, pose7)
+        self._msf_pose_after_update: Optional[tuple] = None  # (stamp, pose7)
+        self._robot_odom_prev: Optional[np.ndarray] = None   # pose7
+        self._robot_odom_cur: Optional[np.ndarray] = None
+
+    # ------------------------------------------------------------------
+    # external initial-guess feeds
+    # ------------------------------------------------------------------
+    def msf_pose_callback(self, stamp: float, pose7: np.ndarray,
+                          after_update: bool) -> None:
+        """MSF-filtered pose stream (msf_core/pose[_after_update],
+        scan_matching_odometry_component.cpp:152-158)."""
+        entry = (float(stamp), np.asarray(pose7, np.float32))
+        if after_update:
+            self._msf_pose_after_update = entry
+        else:
+            self._msf_pose = entry
+
+    def robot_odom_callback(self, pose7: np.ndarray) -> None:
+        """Secondary robot odometry sample for this scan (the reference
+        looks the same delta up from TF, :225-263)."""
+        self._robot_odom_prev = self._robot_odom_cur
+        self._robot_odom_cur = np.asarray(pose7, np.float32)
+
+    def _msf_delta(self):
+        """-> (delta7 | None, source label) per :210-263."""
+        from ..utils import se3np
+
+        if self.cfg.enable_imu_frontend:
+            if (self._msf_pose is not None
+                    and self._msf_pose[0] > self._keyframe_stamp
+                    and self._msf_pose_after_update is not None
+                    and self._msf_pose_after_update[0] > self._keyframe_stamp):
+                return se3np.pose_between(self._msf_pose_after_update[1],
+                                          self._msf_pose[1]), "imu"
+            return None, ""  # msf data too old (reference warns, :223)
+        if (self.cfg.enable_robot_odometry_init_guess
+                and self._robot_odom_prev is not None):
+            return se3np.pose_between(self._robot_odom_prev,
+                                      self._robot_odom_cur), "odometry"
+        return None, ""
 
     # ------------------------------------------------------------------
     def _downsample(self, cloud: PointCloud) -> PointCloud:
@@ -91,11 +133,15 @@ class ScanMatchingOdometry:
                 is_new_keyframe=True, status=ScanMatchingStatus())
 
         source = reg.make_source(cloud, self.params)
-        # initial guess: last keyframe-relative pose composed with the last
-        # scan-to-scan delta (constant-velocity motion model; the reference
-        # uses prev_trans * msf_delta when an IMU frontend is present).
+        # initial guess = prev_trans * msf_delta (:266). The delta comes
+        # from the MSF/robot-odometry frontends when enabled; otherwise the
+        # last scan-to-scan delta (constant-velocity model — a strict
+        # improvement over the reference's identity fallback).
+        msf_delta, msf_source = self._msf_delta()
+        delta_guess = (msf_delta if msf_delta is not None
+                       else self._last_delta)
         guess = se3.pose_compose(jnp.asarray(self._prev_rel),
-                                 jnp.asarray(self._last_delta))
+                                 jnp.asarray(delta_guess))
         result = reg.align(self.params, source, self._target, guess)
 
         converged = bool(result.converged) or int(result.iterations) > 0
@@ -122,6 +168,7 @@ class ScanMatchingOdometry:
             inlier_fraction=float(result.num_inliers) /
             max(1, int(np.asarray(cloud.mask).sum())),
             relative_pose=rel,
+            prediction_labels=(msf_source,) if msf_source else (),
         )
 
         # keyframe switch on accumulated motion (:326-339)

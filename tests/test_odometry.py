@@ -71,3 +71,64 @@ def test_circle_odometry_with_keyframe_switching(world):
     assert n_kf > 3  # traveled ~38 m with 2 m keyframe gate
     ate = ate_rmse(est[:, :3], traj[:, :3], align=True)
     assert ate < 0.5, f"ATE {ate} with {n_kf} keyframes"
+
+
+def test_imu_frontend_initial_guess(world):
+    """enable_imu_frontend: the MSF pose delta seeds the registration
+    (scan_matching_odometry_component.cpp:210-223). A 3 m jump between
+    scans exceeds reg_max_correspondence_distance, so the constant-velocity
+    guess (identity at startup) cannot recover it — the MSF delta can."""
+    import dataclasses
+
+    from mrg_slam_tpu.io.synthetic import straight_trajectory
+
+    cfg, pre = make_cfgs()
+    cfg = dataclasses.replace(cfg, enable_imu_frontend=True,
+                              keyframe_delta_translation=10.0)
+    traj = straight_trajectory(3, speed=3.0)
+    odom = ScanMatchingOdometry(cfg)
+    est = []
+    for i, pose in enumerate(traj):
+        scan = world.scan(pose, seed=100 + i)
+        pc = prefilter(PointCloud.from_array(scan, capacity=4096), pre)
+        # msf stream: the true world pose, noised a little
+        stamp = i * 0.1
+        odom.msf_pose_callback(stamp - 0.001, est[-1] if False else
+                               np.asarray(traj[max(i - 1, 0)], np.float32),
+                               after_update=True)
+        odom.msf_pose_callback(stamp, np.asarray(pose, np.float32),
+                               after_update=False)
+        out = odom.step(pc, stamp=stamp)
+        est.append(out.pose)
+        if i > 0:
+            assert out.status.prediction_labels == ("imu",)
+    est = np.stack(est)
+    # each step recovered the 3 m advance
+    np.testing.assert_allclose(np.linalg.norm(np.diff(est[:, :3], axis=0),
+                                              axis=1), 3.0, atol=0.2)
+
+
+def test_robot_odometry_init_guess(world):
+    """enable_robot_odometry_init_guess: deltas of a secondary odometry
+    stream seed the registration (:225-263)."""
+    import dataclasses
+
+    from mrg_slam_tpu.io.synthetic import straight_trajectory
+
+    cfg, pre = make_cfgs()
+    cfg = dataclasses.replace(cfg, enable_robot_odometry_init_guess=True,
+                              keyframe_delta_translation=10.0)
+    traj = straight_trajectory(3, speed=3.0)
+    odom = ScanMatchingOdometry(cfg)
+    est = []
+    for i, pose in enumerate(traj):
+        scan = world.scan(pose, seed=200 + i)
+        pc = prefilter(PointCloud.from_array(scan, capacity=4096), pre)
+        odom.robot_odom_callback(np.asarray(pose, np.float32))
+        out = odom.step(pc, stamp=i * 0.1)
+        est.append(out.pose)
+        if i > 0:
+            assert out.status.prediction_labels == ("odometry",)
+    est = np.stack(est)
+    np.testing.assert_allclose(np.linalg.norm(np.diff(est[:, :3], axis=0),
+                                              axis=1), 3.0, atol=0.2)

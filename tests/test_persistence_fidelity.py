@@ -159,3 +159,26 @@ def test_g2o_parses_like_reference_tooling(tmp_path):
         else:
             assert parts[0] == "FIX"
     assert len(poses) == slam.db.graph.num_nodes
+
+
+def test_inspect_graph_dir_and_kitti(tmp_path):
+    """pipeline/inspect: the kitti/nebula-inspector equivalent produces
+    stats + plots from a saved graph and a dataset tree."""
+    from mrg_slam_tpu.pipeline.inspect import inspect_graph_dir, inspect_kitti
+
+    rng = np.random.default_rng(21)
+    slam = _small_run(rng)
+    save_graph(slam, tmp_path / "g")
+    stats = inspect_graph_dir(tmp_path / "g")
+    assert stats["keyframes"] == 5
+    assert stats["edge_types"].get("odom") == 4
+    assert stats["keyframes_with_gps"] == 1
+    assert stats["keyframes_with_imu"] == 1
+    assert (tmp_path / "g" / "inspection.json").exists()
+    assert (tmp_path / "g" / "trajectory.png").exists()
+
+    data = Path(__file__).parent / "data" / "kitti_mini"
+    kstats = inspect_kitti(data, "00", out_dir=tmp_path / "k")
+    assert kstats["scans"] == 3
+    assert abs(kstats["gt_path_length_m"] - 2.0) < 1e-6
+    assert (tmp_path / "k" / "inspection.json").exists()
