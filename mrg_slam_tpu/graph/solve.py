@@ -409,6 +409,16 @@ def optimize(g: PoseGraphData, cfg: OptimizerConfig) -> OptimizeResult:
 
 @functools.partial(jax.jit, static_argnames=("stat",))
 def _optimize_split(stat, dyn, g: PoseGraphData) -> OptimizeResult:
+    # TPU matmuls (incl. the ones inside Cholesky factorization and the
+    # einsum reductions) default to bf16 — enough error to stall LM at
+    # chi2 ~40 where the optimum is ~1.6 (same failure mode as the NN
+    # distance corruption documented in ops/pallas_nn.py). Everything in
+    # the solver runs f32-highest.
+    with jax.default_matmul_precision("highest"):
+        return _optimize_body(stat, dyn, g)
+
+
+def _optimize_body(stat, dyn, g: PoseGraphData) -> OptimizeResult:
     solver_backend, is_lm = stat
     max_outer = dyn["max_outer"]
 
@@ -496,6 +506,11 @@ def marginals(g: PoseGraphData, exact: bool = True) -> jnp.ndarray:
     block-Jacobi approximation inv(diag blocks) — cheap, conservative for
     well-conditioned graphs.
     """
+    with jax.default_matmul_precision("highest"):
+        return _marginals_body(g, exact)
+
+
+def _marginals_body(g: PoseGraphData, exact: bool) -> jnp.ndarray:
     lin = linearize(g)
     fn, _ = _free_masks(g)
     if exact:
