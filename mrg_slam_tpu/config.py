@@ -226,7 +226,8 @@ class OptimizerConfig:
     # per-tick marginal covariances attached to map/marker snapshots
     # (mrg_slam_component.cpp:882-891): "none" skips, "approx" = block-
     # Jacobi diag (cheap, rides the optimize dispatch), "exact" = dense
-    # H^-1 diag like g2o's sparse marginals
+    # H^-1 diag like g2o's sparse marginals, "cg" = exact blocks matrix-
+    # free (batched-CG selected inverse; for graphs past dense capacity)
     per_tick_marginals: str = "approx"
 
 

@@ -307,7 +307,8 @@ class GraphSLAM:
 
         Returns final chi2 (graph_slam.cpp:353-395 semantics: chi2 before
         and after are retained on the object). `marginals_mode` overrides
-        cfg.per_tick_marginals ("none" | "approx" | "exact"); when enabled,
+        cfg.per_tick_marginals ("none" | "approx" | "exact" | "cg"); when
+        enabled,
         the covariance blocks ride the same dispatch chain and land in
         `self.last_marginals` (mrg_slam_component.cpp:882-891 computes
         marginals every optimization for the keyframe snapshots)."""
@@ -324,7 +325,15 @@ class GraphSLAM:
         cov = None
         if mode and mode != "none" and n:
             g_opt = g._replace(poses=res.poses, planes=res.planes)
-            cov = solve.marginals(g_opt, exact=(mode == "exact"))
+            if mode == "cg":
+                import jax.numpy as jnp
+                # full-capacity index set keeps the jitted selected-inverse
+                # shape stable as nodes are added (invalid slots come back
+                # zero via the free-mask)
+                cov = solve.marginals_selected(
+                    g_opt, jnp.arange(g_opt.poses.shape[0], dtype=jnp.int32))
+            else:
+                cov = solve.marginals(g_opt, exact=(mode == "exact"))
         self._poses[:n] = np.asarray(res.poses)[:n]
         if p:
             self._planes[:p] = np.asarray(res.planes)[:p]

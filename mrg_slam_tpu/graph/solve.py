@@ -424,7 +424,8 @@ def _optimize_body(stat, dyn, g: PoseGraphData) -> OptimizeResult:
 
     chi2_0 = chi2_only(g)
 
-    def solve_delta(g_, lam):
+    def solve_delta(g_, lam, g0norm):
+        """-> (dx_n, dx_p, pred_reduction, gradient_inf_norm)."""
         lin = linearize(g_)
         D_n, D_p = block_diagonal(g_, lin)
         d_n = jnp.diagonal(D_n, axis1=-2, axis2=-1)
@@ -432,6 +433,7 @@ def _optimize_body(stat, dyn, g: PoseGraphData) -> OptimizeResult:
         if solver_backend == "dense":
             H, b, free = assemble_dense(g_, lin)
             diag = jnp.diagonal(H)
+            gnorm = jnp.max(jnp.abs(b))
             # absolute damping floor keeps H positive definite even when a
             # dof is unconstrained (e.g. a node with only a rotation prior)
             Hl = H + jnp.diag((lam * diag + 1e-6) * free)
@@ -447,11 +449,15 @@ def _optimize_body(stat, dyn, g: PoseGraphData) -> OptimizeResult:
             y = y + jax.scipy.linalg.cho_solve(
                 cf, bs - Hs @ y)
             x = y * s
+            # predicted chi2 reduction of the damped step (g2o's LM rho
+            # denominator): dx^T (lam * D dx + b)
+            pred = jnp.sum(x * (lam * diag * x + b))
             n = g_.n_nodes
             dx_n = x[: 6 * n].reshape(n, 6)
             dx_p = x[6 * n:].reshape(g_.n_planes, 3)
         else:
             g_n, g_p = gradient(g_, lin)
+            gnorm = jnp.maximum(jnp.max(jnp.abs(g_n)), jnp.max(jnp.abs(g_p)))
             fn, fp = _free_masks(g_)
             eye6 = jnp.eye(6, dtype=jnp.float32)
             eye3 = jnp.eye(3, dtype=jnp.float32)
@@ -462,36 +468,56 @@ def _optimize_body(stat, dyn, g: PoseGraphData) -> OptimizeResult:
             M_n = _inv_sym(damped_n)
             M_p = _inv_sym(damped_p)
             hvp = make_hvp(g_, lin)
+            # Eisenstat-Walker forcing: early LM steps only need a crude
+            # Newton direction — solve CG to a tolerance proportional to
+            # gradient progress instead of burning cg_max iterations on a
+            # linearization that the next retract invalidates anyway.
+            eta = jnp.clip(gnorm / jnp.maximum(g0norm, 1e-30), 0.0, 0.1)
+            cg_tol_i = jnp.maximum(dyn["cg_tol"], eta)
             dx_n, dx_p = pcg_solve(hvp, -g_n, -g_p, M_n, M_p, lam, d_n, d_p,
-                                   dyn["cg_max"], dyn["cg_tol"])
-        return dx_n, dx_p, lin.chi2
+                                   dyn["cg_max"], cg_tol_i)
+            pred = (jnp.sum(dx_n * (lam * d_n * dx_n - g_n))
+                    + jnp.sum(dx_p * (lam * d_p * dx_p - g_p)))
+        return dx_n, dx_p, pred, gnorm
 
     def cond(s):
-        g_, lam, chi2, it, done = s
+        g_, lam, nu, chi2, g0norm, it, done = s
         return (it < max_outer) & ~done
 
     def body(s):
-        g_, lam, chi2, it, done = s
-        dx_n, dx_p, _ = solve_delta(g_, lam)
+        g_, lam, nu, chi2, g0norm, it, done = s
+        dx_n, dx_p, pred, gnorm = solve_delta(g_, lam, g0norm)
+        g0norm = jnp.where(g0norm < 0, gnorm, g0norm)
         g_new = _retract_all(g_, dx_n, dx_p)
         chi2_new = chi2_only(g_new)
         accept = chi2_new <= chi2
         if is_lm:
-            lam_next = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-12),
-                                 jnp.minimum(lam * 4.0, 1e10))
+            # Nielsen's gain-ratio schedule: excellent steps slash lambda
+            # toward Gauss-Newton (quadratic tail convergence); rejects
+            # back off geometrically faster each consecutive failure.
+            rho = (chi2 - chi2_new) / jnp.maximum(pred, 1e-30)
+            shrink = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+            lam_next = jnp.where(accept,
+                                 jnp.maximum(lam * shrink, 1e-12),
+                                 jnp.minimum(lam * nu, 1e10))
+            nu_next = jnp.where(accept, jnp.float32(2.0),
+                                jnp.minimum(nu * 2.0, jnp.float32(1e8)))
         else:
             lam_next = lam
+            nu_next = nu
         g_out = g_._replace(
             poses=jnp.where(accept, g_new.poses, g_.poses),
             planes=jnp.where(accept, g_new.planes, g_.planes))
         rel_improve = (chi2 - chi2_new) / jnp.maximum(chi2, 1e-12)
         done_now = (accept & (rel_improve < dyn["chi2_rel_tol"])) | (lam_next > 1e8)
         chi2_out = jnp.where(accept, chi2_new, chi2)
-        return g_out, lam_next, chi2_out, it + 1, done_now
+        return g_out, lam_next, nu_next, chi2_out, g0norm, it + 1, done_now
 
     lam0 = jnp.where(is_lm, dyn["lam0"], jnp.float32(1e-9))
-    state = (g, lam0, chi2_0, jnp.int32(0), jnp.bool_(False))
-    g_fin, lam_fin, chi2_fin, iters, _ = jax.lax.while_loop(cond, body, state)
+    state = (g, lam0, jnp.float32(2.0), chi2_0, jnp.float32(-1.0),
+             jnp.int32(0), jnp.bool_(False))
+    g_fin, lam_fin, nu_fin, chi2_fin, _, iters, _ = jax.lax.while_loop(
+        cond, body, state)
     return OptimizeResult(poses=g_fin.poses, planes=g_fin.planes,
                           chi2_initial=chi2_0, chi2_final=chi2_fin,
                           iterations=iters, lambda_final=lam_fin)
@@ -508,6 +534,58 @@ def marginals(g: PoseGraphData, exact: bool = True) -> jnp.ndarray:
     """
     with jax.default_matmul_precision("highest"):
         return _marginals_body(g, exact)
+
+
+@jax.jit
+def marginals_selected(g: PoseGraphData, node_idx: jnp.ndarray,
+                       cg_max: jnp.ndarray = 400,
+                       cg_tol: jnp.ndarray = 1e-9) -> jnp.ndarray:
+    """Exact 6x6 covariance blocks for selected nodes, matrix-free.
+
+    The dense path (`marginals(exact=True)`) inverts the full Hessian —
+    right for small keyframe graphs but O(D^3). This path solves
+    H x = e_{i,a} for the 6 basis vectors of each selected node with
+    block-Jacobi-preconditioned CG (one vmapped batch of 6m right-hand
+    sides, every iteration a batched Hessian-vector product over the edge
+    tables), then reads cov[a,b] = e_{i,a}^T H^-1 e_{i,b}. Matches g2o's
+    sparse selected marginals (graph_slam.cpp:401-425) without ever
+    forming H. O(E) memory; usable on graphs far past dense capacity.
+
+    node_idx: (m,) int32 node ids. Returns (m, 6, 6); fixed/invalid nodes
+    get zero covariance like the dense path.
+    """
+    with jax.default_matmul_precision("highest"):
+        lin = linearize(g)
+        fn, fp = _free_masks(g)
+        D_n, D_p = block_diagonal(g, lin)
+        eye6 = jnp.eye(6, dtype=jnp.float32)
+        eye3 = jnp.eye(3, dtype=jnp.float32)
+        # lam=0 solve; the 1e-6 ridge inside pcg_solve's operator keeps
+        # unconstrained dofs bounded (mirrors the dense path's 1e-9*I)
+        M_n = _inv_sym(D_n + 1e-6 * eye6 + (1 - fn[..., None]) * eye6)
+        M_p = _inv_sym(D_p + 1e-6 * eye3 + (1 - fp[..., None]) * eye3)
+        hvp = make_hvp(g, lin)
+        n, p = g.n_nodes, g.n_planes
+        m = node_idx.shape[0]
+        rhs_n = jnp.zeros((m, 6, n, 6), jnp.float32)
+        rhs_n = rhs_n.at[jnp.arange(m)[:, None], jnp.arange(6)[None, :],
+                         node_idx[:, None], jnp.arange(6)[None, :]].set(1.0)
+        rhs_n = (rhs_n.reshape(m * 6, n, 6) * fn[None])
+        rhs_p = jnp.zeros((m * 6, p, 3), jnp.float32)
+        zero_d = (jnp.zeros((n, 6), jnp.float32),
+                  jnp.zeros((p, 3), jnp.float32))
+
+        def solve_one(b_n, b_p):
+            x_n, _ = pcg_solve(hvp, b_n, b_p, M_n, M_p, jnp.float32(0.0),
+                               zero_d[0], zero_d[1], cg_max, cg_tol)
+            return x_n
+
+        X = jax.vmap(solve_one)(rhs_n, rhs_p)          # (6m, N, 6)
+        X = X.reshape(m, 6, n, 6)
+        cov = X[jnp.arange(m)[:, None], jnp.arange(6)[None, :],
+                node_idx[:, None]]                      # (m, 6, 6)
+        free_sel = fn[node_idx]                         # (m, 1)
+        return cov * free_sel[:, :, None]
 
 
 def _marginals_body(g: PoseGraphData, exact: bool) -> jnp.ndarray:

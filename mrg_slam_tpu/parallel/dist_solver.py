@@ -75,23 +75,38 @@ def pad_edges_to(g: PoseGraphData, multiple: int) -> PoseGraphData:
                       plane_plane=pad_table(g.plane_plane))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
 def optimize_distributed(g: PoseGraphData, cfg: OptimizerConfig,
                          mesh: Mesh) -> solve.OptimizeResult:
     """Distributed LM: identical semantics to graph.solve.optimize with the
-    'cg' backend, with every reduction psum'd over the edge-shard axis."""
+    'cg' backend, with every reduction psum'd over the edge-shard axis.
+
+    Like the single-device path, only program structure (is_lm, the mesh) is
+    jit-static; iteration caps and tolerances ride as traced scalars so
+    retuning never recompiles the SPMD program.
+    """
+    dyn = dict(max_outer=jnp.int32(cfg.g2o_solver_num_iterations),
+               chi2_rel_tol=jnp.float32(cfg.chi2_rel_tol),
+               lam0=jnp.float32(cfg.lm_initial_lambda),
+               cg_max=jnp.int32(cfg.cg_max_iterations),
+               cg_tol=jnp.float32(cfg.cg_tol))
+    is_lm = cfg.g2o_solver_type.startswith("lm")
+    return _optimize_distributed_split(is_lm, mesh, dyn, g)
+
+
+@functools.partial(jax.jit, static_argnames=("is_lm", "mesh"))
+def _optimize_distributed_split(is_lm, mesh: Mesh, dyn,
+                                g: PoseGraphData) -> solve.OptimizeResult:
     n_dev = mesh.shape[AXIS]
     g = pad_edges_to(g, n_dev)
-    max_outer = cfg.g2o_solver_num_iterations
-    is_lm = cfg.g2o_solver_type.startswith("lm")
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(_edge_sharded_specs(mesh),),
+        in_specs=(_edge_sharded_specs(mesh),
+                  jax.tree.map(lambda _: P(), dyn)),
         out_specs=jax.tree.map(lambda _: P(), solve.OptimizeResult(
             *[0] * len(solve.OptimizeResult._fields))),
         check_vma=False)
-    def run(g_local: PoseGraphData) -> solve.OptimizeResult:
+    def run(g_local: PoseGraphData, dyn) -> solve.OptimizeResult:
         chi2_0 = solve.chi2_only(g_local, axis_name=AXIS)
 
         def solve_delta(g_, lam):
@@ -111,13 +126,13 @@ def optimize_distributed(g: PoseGraphData, cfg: OptimizerConfig,
             M_p = solve._inv_sym(damped_p)
             hvp = solve.make_hvp(g_, lin, axis_name=AXIS)
             dx_n, dx_p = solve.pcg_solve(hvp, -g_n, -g_p, M_n, M_p, lam,
-                                         d_n, d_p, cfg.cg_max_iterations,
-                                         cfg.cg_tol)
+                                         d_n, d_p, dyn["cg_max"],
+                                         dyn["cg_tol"])
             return dx_n, dx_p
 
         def cond(s):
             _, lam, chi2, it, done = s
-            return (it < max_outer) & ~done
+            return (it < dyn["max_outer"]) & ~done
 
         def body(s):
             g_, lam, chi2, it, done = s
@@ -134,12 +149,12 @@ def optimize_distributed(g: PoseGraphData, cfg: OptimizerConfig,
                 poses=jnp.where(accept, g_new.poses, g_.poses),
                 planes=jnp.where(accept, g_new.planes, g_.planes))
             rel = (chi2 - chi2_new) / jnp.maximum(chi2, 1e-12)
-            done_now = ((accept & (rel < cfg.chi2_rel_tol))
+            done_now = ((accept & (rel < dyn["chi2_rel_tol"]))
                         | (lam_next > 1e8))
             return (g_out, lam_next, jnp.where(accept, chi2_new, chi2),
                     it + 1, done_now)
 
-        lam0 = jnp.float32(cfg.lm_initial_lambda if is_lm else 1e-9)
+        lam0 = jnp.where(is_lm, dyn["lam0"], jnp.float32(1e-9))
         state = (g_local, lam0, chi2_0, jnp.int32(0), jnp.bool_(False))
         g_fin, lam_fin, chi2_fin, iters, _ = jax.lax.while_loop(
             cond, body, state)
@@ -147,7 +162,10 @@ def optimize_distributed(g: PoseGraphData, cfg: OptimizerConfig,
             poses=g_fin.poses, planes=g_fin.planes, chi2_initial=chi2_0,
             chi2_final=chi2_fin, iterations=iters, lambda_final=lam_fin)
 
-    return run(g)
+    # same bf16-matmul hazard as the single-device solver (graph/solve.py):
+    # the einsum reductions and block inverses must run f32-highest on TPU
+    with jax.default_matmul_precision("highest"):
+        return run(g, dyn)
 
 
 def shard_graph_inputs(g: PoseGraphData, mesh: Mesh) -> PoseGraphData:

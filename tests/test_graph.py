@@ -142,6 +142,24 @@ def test_marginals_shape_and_sanity(rng):
     assert (np.diagonal(cov[1:], axis1=1, axis2=2) > 0).all()
 
 
+def test_marginals_selected_matches_dense(rng):
+    """Matrix-free selected-inverse marginals == exact dense blocks."""
+    from mrg_slam_tpu.graph import solve
+
+    gs, gt, _ = make_noisy_loop(rng, n=8)
+    gs.optimize()
+    g = gs.snapshot()
+    cov_dense = np.asarray(solve.marginals(g, exact=True))
+    sel = jnp.asarray([0, 3, 7], jnp.int32)
+    cov_sel = np.asarray(solve.marginals_selected(g, sel))
+    assert cov_sel.shape == (3, 6, 6)
+    np.testing.assert_allclose(cov_sel, cov_dense[np.asarray(sel)],
+                               rtol=0.05, atol=1e-4)
+    # fixed node (0) zero; free nodes positive diagonal
+    assert np.abs(cov_sel[0]).max() < 1e-6
+    assert (np.diagonal(cov_sel[1:], axis1=1, axis2=2) > 0).all()
+
+
 def test_chi2_zero_on_perfect_graph(rng):
     gs = GraphSLAM(OptimizerConfig(), capacity_nodes=16, capacity_edges=16)
     a = gs.add_se3_node(se3.pose_identity(), fixed=True)

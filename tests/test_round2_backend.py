@@ -283,3 +283,23 @@ def test_per_tick_marginals_attached():
     free = [k.node_id for k in slam.db.own_keyframes()]
     d = np.diagonal(cov[free], axis1=1, axis2=2)
     assert (d > 0).all()
+
+
+def test_per_tick_marginals_cg_mode_matches_exact():
+    """mode 'cg' (matrix-free selected inverse) == mode 'exact' blocks."""
+    cfg = dataclasses.replace(
+        _loop_cfg(),
+        inf_matrix=InformationMatrixConfig(use_const_inf_matrix=True))
+    slam = MrgSlam(cfg)
+    for i in range(4):
+        slam.db.add_odom_keyframe(
+            float(i), np.asarray([i * 1.0, 0, 0.1 * i, 1, 0, 0, 0],
+                                 np.float32),
+            accum_distance=float(i), cloud=PointCloud.empty(512))
+    slam.optimization_tick(now=4.0)  # flushes the queue into the graph
+    slam.db.graph.optimize(marginals_mode="exact")
+    cov_exact = slam.db.graph.last_marginals.copy()
+    slam.db.graph.optimize(marginals_mode="cg")
+    cov_cg = slam.db.graph.last_marginals
+    assert cov_cg.shape == cov_exact.shape
+    np.testing.assert_allclose(cov_cg, cov_exact, rtol=0.05, atol=1e-4)
