@@ -155,6 +155,14 @@ def main():
           f"({fps_slam:.1f} fps); {n_kf} keyframes, {n_loops} loops, "
           f"ATE {ate:.3f} m (odometry-only {ate_odom:.3f} m)",
           file=sys.stderr)
+    ticks = slam.tick_stats
+    if ticks:
+        lc = sum(t.loop_closure_us for t in ticks) / len(ticks) / 1e3
+        op = sum(t.optimization_us for t in ticks) / len(ticks) / 1e3
+        it = sum(t.iterations for t in ticks) / len(ticks)
+        print(f"# tick breakdown ({len(ticks)} ticks): loop-closure "
+              f"{lc:.0f} ms, optimize {op:.0f} ms ({it:.0f} LM iters) avg",
+              file=sys.stderr)
 
     # front-end-only odometry rate (round-1 headline, for continuity)
     carry = fused.init_carry(FILTERED)

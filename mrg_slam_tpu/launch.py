@@ -63,6 +63,10 @@ def main(argv=None):
     ap.add_argument("--bag")
     ap.add_argument("--topic", default="/velodyne_points")
     ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--radius", type=float, default=18.0,
+                    help="synthetic circle radius (m)")
+    ap.add_argument("--laps", type=float, default=1.2,
+                    help="synthetic circle laps over --frames")
     ap.add_argument("--tick-every", type=int, default=30)
     ap.add_argument("--output", default="results")
     ap.add_argument("overrides", nargs="*", help="param:=value overrides")
@@ -78,7 +82,11 @@ def main(argv=None):
         d = _apply_overrides(d, _parse_overrides(args.overrides))
         cfg = EngineConfig.from_yaml_dict(d)
     else:
-        d = {"mrg_slam_component": _parse_overrides(args.overrides)}
+        # same flat-namespace fan-out as the --config path: each override
+        # lands in every component section and from_yaml_dict keeps the
+        # fields each dataclass actually declares (without this, prefilter/
+        # odometry overrides like capacity_raw_points were silently ignored)
+        d = _apply_overrides({}, _parse_overrides(args.overrides))
         cfg = EngineConfig.from_yaml_dict(d)
 
     from .pipeline.replay import Robot, replay
@@ -104,7 +112,8 @@ def main(argv=None):
         from .io.synthetic import SyntheticWorld, circle_trajectory
 
         world = SyntheticWorld.build(seed=0)
-        traj = circle_trajectory(args.frames, radius=18.0, laps=1.2)
+        traj = circle_trajectory(args.frames, radius=args.radius,
+                                 laps=args.laps)
         frames = ((i * 0.1, world.scan(p, seed=i))
                   for i, p in enumerate(traj))
         gt_xyz = traj[:, :3]
