@@ -334,14 +334,33 @@ class GraphSLAM:
                     g_opt, jnp.arange(g_opt.poses.shape[0], dtype=jnp.int32))
             else:
                 cov = solve.marginals(g_opt, exact=(mode == "exact"))
-        self._poses[:n] = np.asarray(res.poses)[:n]
+        # pack every output into ONE flat device array and fetch once: each
+        # np.asarray on a separate buffer is a full ~26 ms tunnel round trip
+        # (poses + planes + marginals + 3 scalars was ~150 ms of pure RTT
+        # per optimization tick)
+        import jax.numpy as jnp
+        f32 = jnp.float32
+        parts = [res.poses.ravel(),
+                 jnp.stack([res.chi2_initial, res.chi2_final,
+                            res.iterations.astype(f32)])]
         if p:
-            self._planes[:p] = np.asarray(res.planes)[:p]
+            parts.append(res.planes.ravel())
         if cov is not None:
-            self.last_marginals = np.asarray(cov)[:n]
-        self.chi2_initial = float(res.chi2_initial)
-        self.chi2_final = float(res.chi2_final)
-        self.last_iterations = int(res.iterations)
+            parts.append(cov.ravel().astype(f32))
+        flat = np.asarray(jnp.concatenate(parts))
+        npose = res.poses.shape[0] * 7
+        self._poses[:n] = flat[:npose].reshape(-1, 7)[:n]
+        self.chi2_initial = float(flat[npose])
+        self.chi2_final = float(flat[npose + 1])
+        self.last_iterations = int(flat[npose + 2])
+        off = npose + 3
+        if p:
+            nplane = res.planes.shape[0] * res.planes.shape[1]
+            self._planes[:p] = flat[off:off + nplane].reshape(
+                res.planes.shape)[:p]
+            off += nplane
+        if cov is not None:
+            self.last_marginals = flat[off:].reshape(cov.shape)[:n]
         return self.chi2_final
 
     def compute_marginals(self, exact: bool = True) -> np.ndarray:

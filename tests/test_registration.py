@@ -157,3 +157,54 @@ def test_reciprocal_correspondences(rng):
     assert np.linalg.norm(np.asarray(res.pose)[:3] - gt_np[:3]) < 0.05
     # mutual gating discards some correspondences but keeps most
     assert 200 < int(res.num_inliers) <= 600
+
+
+def test_align_pairs_packed_matches_unpacked(rng):
+    """The tick's single-fetch packed program must agree field-for-field
+    with the reference `align_pairs` output it replaced."""
+    pts = structured_scene(rng, n=600)
+    gt = true_pose()
+    src_pts = np.asarray(se3.pose_apply(se3.pose_inverse(gt),
+                                        jnp.asarray(pts)))
+    params = RegistrationConfig(registration_method="SMALL_GICP",
+                                reg_transformation_epsilon=1e-4)
+    tgt = reg.make_source(PointCloud.from_array(pts, capacity=1024), params)
+    src = reg.make_source(PointCloud.from_array(src_pts, capacity=1024),
+                          params)
+    B = 4
+    tgts, srcs = [tgt] * B, [src] * B
+    init = jnp.stack([se3.pose_identity()] * B)
+    # row 0 registers, row 1 evaluates only, rows 2-3 register with a gate
+    iters = jnp.asarray([params.reg_maximum_iterations, 0,
+                         params.reg_maximum_iterations,
+                         params.reg_maximum_iterations], jnp.int32)
+    ranges = jnp.asarray([np.inf, np.inf, 1.0, 0.5], jnp.float32)
+
+    packed = np.asarray(reg.align_pairs_packed(params, tgts, srcs, init,
+                                               iters, ranges))
+    res = reg.align_pairs(
+        params,
+        jnp.stack([t.points for t in tgts]),
+        jnp.stack([t.mask for t in tgts]),
+        jnp.stack([t.covs for t in tgts]),
+        jnp.stack([s.points for s in srcs]),
+        jnp.stack([s.mask for s in srcs]),
+        jnp.stack([s.covs for s in srcs]),
+        init, iters, ranges)
+    assert packed.shape == (B, 12)
+    np.testing.assert_allclose(packed[:, :7], np.asarray(res.pose),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(packed[:, 7] > 0.5,
+                                  np.asarray(res.converged))
+    np.testing.assert_array_equal(packed[:, 8].astype(np.int32),
+                                  np.asarray(res.iterations))
+    np.testing.assert_array_equal(packed[:, 9].astype(np.int32),
+                                  np.asarray(res.num_inliers))
+    np.testing.assert_allclose(packed[:, 10], np.asarray(res.fitness_inf),
+                               rtol=1e-6)
+    np.testing.assert_allclose(packed[:, 11], np.asarray(res.fitness_range),
+                               rtol=1e-6)
+    # evaluate-only row kept its initial pose
+    np.testing.assert_allclose(packed[1, :7], np.asarray(init[1]))
+    # the registered rows recovered the transform
+    assert np.linalg.norm(packed[0, :3] - np.asarray(gt)[:3]) < 0.05
