@@ -229,6 +229,12 @@ class OptimizerConfig:
     # H^-1 diag like g2o's sparse marginals, "cg" = exact blocks matrix-
     # free (batched-CG selected inverse; for graphs past dense capacity)
     per_tick_marginals: str = "approx"
+    # chordal initialization (graph/chordal.py) before LM: linear rotation
+    # relaxation + linear translation solve put a cold-start graph inside
+    # LM's quadratic basin. No reference equivalent (g2o runs LM from the
+    # stored estimates); incremental SLAM ticks don't need it — enable for
+    # cold solves of whole graphs (load_graph, solver benchmarks).
+    chordal_init: bool = False
 
 
 @dataclass(frozen=True)

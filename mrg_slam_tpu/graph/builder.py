@@ -318,6 +318,9 @@ class GraphSLAM:
             cfg = dataclasses.replace(cfg,
                                       g2o_solver_num_iterations=num_iterations)
         g = self.snapshot()
+        if cfg.chordal_init and self._n_nodes:
+            from .chordal import chordal_init
+            g = g._replace(poses=chordal_init(g))
         res = solve.optimize(g, cfg)
         n, p = self.num_nodes, self._n_planes
         mode = (marginals_mode if marginals_mode is not None

@@ -314,8 +314,13 @@ def pcg_solve(hvp, b_n, b_p, M_n, M_p, lam, d_n, d_p, max_iters: int,
 # dense path
 # ---------------------------------------------------------------------------
 
-def assemble_dense(g: PoseGraphData, lin: LinearizedGraph):
-    """Full (D, D) Hessian and (D,) gradient; D = 6N + 3P."""
+def assemble_dense(g: PoseGraphData, lin: LinearizedGraph, axis_name=None):
+    """Full (D, D) Hessian and (D,) gradient; D = 6N + 3P.
+
+    With `axis_name` (inside shard_map over edge shards) each device
+    assembles its local edges' contributions and the full Hessian arrives
+    by ONE psum over the ICI — the scaling-book recipe: the O(E)
+    linearization work is sharded, the O(D^2) result is replicated."""
     n, p = g.n_nodes, g.n_planes
     D = 6 * n + 3 * p
     H = jnp.zeros((D, D), jnp.float32)
@@ -361,8 +366,10 @@ def assemble_dense(g: PoseGraphData, lin: LinearizedGraph):
     H = add_block(H, qb, qa, jnp.einsum("eai,eaj->eij", lin.Jqq_b, WJa))
     H = add_block(H, qb, qb, jnp.einsum("eai,eaj->eij", lin.Jqq_b, WJb))
 
-    g_n, g_p = gradient(g, lin)
+    g_n, g_p = gradient(g, lin, axis_name=axis_name)
     b = -jnp.concatenate([g_n.reshape(-1), g_p.reshape(-1)])
+    if axis_name is not None:
+        H = jax.lax.psum(H, axis_name)
 
     # project out fixed/invalid dofs: zero rows/cols, unit diagonal
     fn, fp = _free_masks(g)
@@ -371,6 +378,32 @@ def assemble_dense(g: PoseGraphData, lin: LinearizedGraph):
     H = H * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
     b = b * free
     return H, b, free
+
+
+def dense_delta(H, b, free, lam):
+    """Damped dense Newton step -> (x, predicted_reduction, grad_inf_norm).
+
+    f32 Cholesky on a raw pose-graph Hessian (condition ~1e6+) loses
+    enough precision to stall LM; symmetric Jacobi equilibration plus one
+    iterative-refinement step recovers near-f64 step quality at ~1 extra
+    matmul. Shared by the single-device LM driver and the distributed
+    solver's replicated dense backend."""
+    diag = jnp.diagonal(H)
+    gnorm = jnp.max(jnp.abs(b))
+    # absolute damping floor keeps H positive definite even when a dof is
+    # unconstrained (e.g. a node with only a rotation prior)
+    Hl = H + jnp.diag((lam * diag + 1e-6) * free)
+    s = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(Hl), 1e-12))
+    Hs = Hl * s[:, None] * s[None, :]
+    bs = b * s
+    cf = jax.scipy.linalg.cho_factor(Hs)
+    y = jax.scipy.linalg.cho_solve(cf, bs)
+    y = y + jax.scipy.linalg.cho_solve(cf, bs - Hs @ y)
+    x = y * s
+    # predicted chi2 reduction of the damped step (g2o's LM rho
+    # denominator): dx^T (lam * D dx + b)
+    pred = jnp.sum(x * (lam * diag * x + b))
+    return x, pred, gnorm
 
 
 # ---------------------------------------------------------------------------
@@ -432,26 +465,7 @@ def _optimize_body(stat, dyn, g: PoseGraphData) -> OptimizeResult:
         d_p = jnp.diagonal(D_p, axis1=-2, axis2=-1)
         if solver_backend == "dense":
             H, b, free = assemble_dense(g_, lin)
-            diag = jnp.diagonal(H)
-            gnorm = jnp.max(jnp.abs(b))
-            # absolute damping floor keeps H positive definite even when a
-            # dof is unconstrained (e.g. a node with only a rotation prior)
-            Hl = H + jnp.diag((lam * diag + 1e-6) * free)
-            # f32 Cholesky on a raw pose-graph Hessian (condition ~1e6+)
-            # loses enough precision to stall LM; symmetric Jacobi
-            # equilibration plus one iterative-refinement step recovers
-            # near-f64 step quality at ~1 extra matmul
-            s = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(Hl), 1e-12))
-            Hs = Hl * s[:, None] * s[None, :]
-            bs = b * s
-            cf = jax.scipy.linalg.cho_factor(Hs)
-            y = jax.scipy.linalg.cho_solve(cf, bs)
-            y = y + jax.scipy.linalg.cho_solve(
-                cf, bs - Hs @ y)
-            x = y * s
-            # predicted chi2 reduction of the damped step (g2o's LM rho
-            # denominator): dx^T (lam * D dx + b)
-            pred = jnp.sum(x * (lam * diag * x + b))
+            x, pred, gnorm = dense_delta(H, b, free, lam)
             n = g_.n_nodes
             dx_n = x[: 6 * n].reshape(n, 6)
             dx_p = x[6 * n:].reshape(g_.n_planes, 3)

@@ -113,6 +113,7 @@ class MrgSlam:
         self.sent_graph_bytes: List[int] = []
         # timing stats
         self.tick_stats: List[TickStats] = []
+        self._tick_executor = None
 
     # ------------------------------------------------------------------
     # front-end entry
@@ -255,6 +256,25 @@ class MrgSlam:
         self.db.save_keyframe_poses()
         self.tick_stats.append(stats)
         return stats
+
+    def optimization_tick_async(self, now: float = 0.0):
+        """Run the tick on a single worker thread, concurrent with scan
+        ingestion — the reference's deployment shape: the optimization
+        timer (mrg_slam_component.cpp:802) fires alongside the streaming
+        cloud callback. Scan ingestion only appends to the locked
+        keyframe queue (GraphDatabase.queue_lock), so the tick's flush and
+        the front-end never race; keyframes admitted while a tick is in
+        flight are simply picked up by the next one.
+
+        Returns a concurrent.futures.Future; ticks are serialized by the
+        single worker. The deterministic replay harness keeps calling the
+        synchronous `optimization_tick` (the reference's dataset
+        processors likewise gate playback on SlamStatus)."""
+        if self._tick_executor is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._tick_executor = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix=f"tick-{self.own_name}")
+        return self._tick_executor.submit(self.optimization_tick, now)
 
     # ------------------------------------------------------------------
     # multi-robot

@@ -10,6 +10,7 @@ mutexes disappear because flushing happens on one host thread per robot.
 from __future__ import annotations
 
 import dataclasses
+import threading
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -54,6 +55,12 @@ class GraphDatabase:
         self.static_keyframe_queue: List[KeyFrame] = []
         self.graph_queue: List[object] = []   # received GraphMsg
         self.loaded_graph_queue: List[object] = []
+        # guards queue append/pop: the optimization tick may run on a
+        # worker thread concurrently with scan ingestion, like the
+        # reference's optimization timer vs. cloud callback (the reference
+        # takes trans_odom2map_mutex / main_thread_mutex for the same
+        # reason, mrg_slam_component.cpp:805-817)
+        self.queue_lock = threading.Lock()
 
         self.prev_robot_keyframe: Optional[KeyFrame] = None
         self.anchor_kf: Optional[KeyFrame] = None
@@ -76,14 +83,17 @@ class GraphDatabase:
                       slam_uuid=self.slam_uuid,
                       odom_counter=self.odom_keyframe_counter)
         self.odom_keyframe_counter += 1
-        self.keyframe_queue.append(kf)
+        with self.queue_lock:
+            self.keyframe_queue.append(kf)
         return kf
 
     def add_static_keyframes(self, keyframes: Sequence[KeyFrame]) -> None:
-        self.static_keyframe_queue.extend(keyframes)
+        with self.queue_lock:
+            self.static_keyframe_queue.extend(keyframes)
 
     def add_graph_msg(self, msg) -> None:
-        self.graph_queue.append(msg)
+        with self.queue_lock:
+            self.graph_queue.append(msg)
 
     # ------------------------------------------------------------------
     # flush: odometry keyframes
@@ -101,11 +111,13 @@ class GraphDatabase:
         graph_database.cpp:139-142). With the default, information is
         computed inline per edge, as in round 1.
         """
-        if not self.keyframe_queue:
-            return []
-        n = min(len(self.keyframe_queue), self.cfg.max_keyframes_per_update)
-        batch, self.keyframe_queue = (self.keyframe_queue[:n],
-                                      self.keyframe_queue[n:])
+        with self.queue_lock:
+            if not self.keyframe_queue:
+                return []
+            n = min(len(self.keyframe_queue),
+                    self.cfg.max_keyframes_per_update)
+            batch = self.keyframe_queue[:n]
+            del self.keyframe_queue[:n]
         pending: List[Edge] = []
         const_info = self.cfg.inf_matrix.use_const_inf_matrix
         for kf in batch:
@@ -207,9 +219,10 @@ class GraphDatabase:
     # ------------------------------------------------------------------
     def flush_static_keyframe_queue(self) -> bool:
         """graph_database.cpp:199: fixed nodes, no odometry chain."""
-        if not self.static_keyframe_queue:
-            return False
-        batch, self.static_keyframe_queue = self.static_keyframe_queue, []
+        with self.queue_lock:
+            if not self.static_keyframe_queue:
+                return False
+            batch, self.static_keyframe_queue = self.static_keyframe_queue, []
         for kf in batch:
             kf.static_keyframe = True
             kf.node_id = self.graph.add_se3_node(kf.odom, fixed=True)
@@ -227,9 +240,10 @@ class GraphDatabase:
         re-link by uuid; remote loop edges are registered with the
         LoopManager so local loop search is rate-limited consistently.
         """
-        if not self.graph_queue:
-            return False
-        msgs, self.graph_queue = self.graph_queue, []
+        with self.queue_lock:
+            if not self.graph_queue:
+                return False
+            msgs, self.graph_queue = self.graph_queue, []
         for msg in msgs:
             for kmsg in msg.keyframes:
                 if kmsg.uuid in self.uuid_keyframe_map:

@@ -157,3 +157,32 @@ def test_two_robot_graph_exchange(world):
                 if k.robot_name == "atlas"]
     assert a_remote or b_remote, "no keyframes exchanged"
     assert a.received_graph_bytes or b.received_graph_bytes
+
+
+def test_async_tick_concurrent_ingest(world):
+    """optimization_tick_async runs on a worker thread while scans stream
+    in (the reference's optimization-timer-vs-cloud-callback concurrency);
+    no keyframe may be lost to the flush/append race and the final graph
+    must match what the synchronous path builds."""
+    traj = circle_trajectory(40, radius=12.0, laps=0.9)
+    odom = ScanMatchingOdometry(ScanMatchingOdometryConfig(
+        keyframe_delta_translation=2.0, registration=REG))
+    slam = MrgSlam(slam_config())
+    futures = []
+    for i, pose in enumerate(traj):
+        scan = world.scan(pose, seed=i)
+        pc = prefilter(PointCloud.from_array(scan, capacity=4096), PRE)
+        out = odom.step(pc, stamp=i * 0.1)
+        slam.process_scan(i * 0.1, out.pose, pc)
+        if (i + 1) % 8 == 0:
+            futures.append(slam.optimization_tick_async(now=i * 0.1))
+    for f in futures:
+        f.result(timeout=600)
+    slam.optimization_tick(now=len(traj) * 0.1)  # drain
+
+    n_admitted = slam.db.odom_keyframe_counter
+    in_graph = len([k for k in slam.db.keyframes + slam.db.new_keyframes
+                    if k.node_id is not None])
+    assert in_graph == n_admitted  # nothing lost, everything flushed
+    assert len(slam.db.keyframe_queue) == 0
+    assert slam.db.graph.chi2_final <= slam.db.graph.chi2_initial + 1e-6
