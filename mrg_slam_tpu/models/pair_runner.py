@@ -67,13 +67,11 @@ class PairRunner:
     MAX_BUCKET = 64  # requests beyond this run as multiple dispatches
 
     def __init__(self, reg_cfg: RegistrationConfig):
-        if not reg.is_gicp_like(reg_cfg.registration_method):
-            # voxel-target methods (VGICP/NDT) build per-target voxel maps;
-            # the batched pair program covers the GICP family (the
-            # reference default, registrations.cpp:46). Fall back per-pair.
-            self.batched = False
-        else:
-            self.batched = True
+        # GICP-family targets are covariance clouds; VGICP/NDT targets are
+        # Gaussian voxel maps — both families run the same packed
+        # one-dispatch/one-fetch bucket program (align_pairs_packed /
+        # align_pairs_voxel_packed)
+        self.voxel_target = not reg.is_gicp_like(reg_cfg.registration_method)
         self.reg_cfg = reg_cfg
 
     # ------------------------------------------------------------------
@@ -90,17 +88,29 @@ class PairRunner:
             kf._gicp_cache = cached
         return cached
 
+    def voxel_map(self, kf: KeyFrame):
+        """Per-keyframe Gaussian voxel map (VGICP/NDT targets), cached —
+        mirrors the per-target voxel grid VGICP/NDT rebuild per
+        setInputTarget in the reference stack."""
+        cached = getattr(kf, "_voxmap_cache", None)
+        if cached is None:
+            cached = reg.make_target(
+                kf.cloud, self.reg_cfg,
+                voxel_capacity=kf.cloud.capacity).voxels
+            kf._voxmap_cache = cached
+        return cached
+
     def prefetch(self, kf: KeyFrame) -> None:
-        """Kick off (async) covariance computation for a new keyframe, so
-        admission amortizes the work outside the tick."""
+        """Kick off (async) covariance / voxel-map preprocessing for a new
+        keyframe, so admission amortizes the work outside the tick."""
         self.gicp(kf)
+        if self.voxel_target:
+            self.voxel_map(kf)
 
     # ------------------------------------------------------------------
     def run(self, requests: List[PairRequest]) -> List[PairResult]:
         if not requests:
             return []
-        if not self.batched:
-            return [self._run_one(r) for r in requests]
         out: List[PairResult] = []
         for s in range(0, len(requests), self.MAX_BUCKET):
             out.extend(self._run_bucket(requests[s: s + self.MAX_BUCKET]))
@@ -112,15 +122,20 @@ class PairRunner:
         while b < n:
             b *= 2
         cap = requests[0].target.cloud.capacity
-        empty = None
-        tgts, srcs = [], []
+        empty = empty_vox = empty_cloud = None
+        tgts, srcs, tmaps, tclouds = [], [], [], []
         inits, iters, ranges = [], [], []
         for i in range(b):
             if i < n:
                 r = requests[i]
-                tg, sg = self.gicp(r.target), self.gicp(r.source)
+                sg = self.gicp(r.source)
                 init = np.asarray(r.init_pose, np.float32)
                 mi, fr = r.max_iters, r.fitness_max_range
+                if self.voxel_target:
+                    tmaps.append(self.voxel_map(r.target))
+                    tclouds.append(r.target.cloud)
+                else:
+                    tgts.append(self.gicp(r.target))
             else:
                 if empty is None:
                     ec = PointCloud.empty(cap)
@@ -128,21 +143,33 @@ class PairRunner:
                         ec.points, ec.mask,
                         jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
                                          (cap, 3, 3)))
-                tg = sg = empty
+                    if self.voxel_target:
+                        empty_cloud = ec
+                        empty_vox = reg.make_target(
+                            ec, self.reg_cfg, voxel_capacity=cap).voxels
+                sg = empty
+                if self.voxel_target:
+                    tmaps.append(empty_vox)
+                    tclouds.append(empty_cloud)
+                else:
+                    tgts.append(empty)
                 init = np.asarray([0, 0, 0, 1, 0, 0, 0], np.float32)
                 mi, fr = 0, np.inf
-            tgts.append(tg)
             srcs.append(sg)
             inits.append(init); iters.append(mi); ranges.append(fr)
 
         # per-keyframe buffers ride in as jit args (stacked on-device inside
         # the program); results come back as one packed (B, 12) array —
         # ONE dispatch + ONE ~26 ms tunnel fetch for the whole bucket
-        packed = np.asarray(reg.align_pairs_packed(
-            self.reg_cfg, tgts, srcs,
-            jnp.asarray(np.stack(inits)),
-            jnp.asarray(np.asarray(iters, np.int32)),
-            jnp.asarray(np.asarray(ranges, np.float32))))
+        args = (jnp.asarray(np.stack(inits)),
+                jnp.asarray(np.asarray(iters, np.int32)),
+                jnp.asarray(np.asarray(ranges, np.float32)))
+        if self.voxel_target:
+            packed = np.asarray(reg.align_pairs_voxel_packed(
+                self.reg_cfg, tmaps, tclouds, srcs, *args))
+        else:
+            packed = np.asarray(reg.align_pairs_packed(
+                self.reg_cfg, tgts, srcs, *args))
         return [PairResult(pose=packed[i, :7],
                            converged=bool(packed[i, 7] > 0.5),
                            iterations=int(packed[i, 8]),
@@ -151,25 +178,3 @@ class PairRunner:
                            fitness_range=float(packed[i, 11]))
                 for i in range(n)]
 
-    def _run_one(self, r: PairRequest) -> PairResult:
-        """Per-pair fallback for voxel-target methods."""
-        from ..ops.fitness import fitness_score
-
-        if r.max_iters > 0:
-            res = reg.align_clouds(self.reg_cfg, r.source.cloud,
-                                   r.target.cloud,
-                                   jnp.asarray(r.init_pose))
-            pose = np.asarray(res.pose)
-            conv, its = bool(res.converged), int(res.iterations)
-            nin = int(res.num_inliers)
-        else:
-            pose = np.asarray(r.init_pose, np.float32)
-            conv, its, nin = False, 0, 0
-        f_inf = float(fitness_score(r.target.cloud, r.source.cloud,
-                                    jnp.asarray(pose), jnp.inf))
-        f_rng = float(fitness_score(r.target.cloud, r.source.cloud,
-                                    jnp.asarray(pose),
-                                    jnp.float32(r.fitness_max_range)))
-        return PairResult(pose=pose, converged=conv, iterations=its,
-                          num_inliers=nin, fitness_inf=f_inf,
-                          fitness_range=f_rng)

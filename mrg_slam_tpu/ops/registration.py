@@ -367,6 +367,49 @@ def _align_pairs_packed(stat, dyn, tgts, srcs, init_poses, max_iters,
         jnp.stack([s.mask for s in srcs]),
         jnp.stack([s.covs for s in srcs]),
         init_poses, max_iters, fitness_max_range)
+    return _pack_rows(res)
+
+
+def _pair_row(params, src: GICPCloud, tgt: RegistrationTarget,
+              tgt_points, tgt_mask, ip, mi, fr) -> PairResults:
+    """One pair of the tick program: optional registration (mi > 0) plus
+    both fitness flavors from a shared NN pass against the RAW target
+    points (getFitnessScore searches the target cloud regardless of the
+    registration method's own association structure)."""
+    res = _align_impl(params, src, tgt, ip, mi)
+    moved = se3.pose_apply(res.pose, src.points)
+    d2, _ = knn.nearest_neighbor(moved, tgt_points, tgt_mask)
+    ok = src.mask & jnp.isfinite(d2)
+    n_inf = jnp.sum(ok.astype(jnp.int32))
+    fit_inf = jnp.where(n_inf > 0,
+                        jnp.sum(jnp.where(ok, d2, 0.0))
+                        / jnp.maximum(n_inf, 1), jnp.inf)
+    okr = ok & (d2 <= fr * fr)
+    n_r = jnp.sum(okr.astype(jnp.int32))
+    fit_r = jnp.where(n_r > 0,
+                      jnp.sum(jnp.where(okr, d2, 0.0))
+                      / jnp.maximum(n_r, 1), jnp.inf)
+    return PairResults(pose=res.pose, converged=res.converged,
+                       iterations=res.iterations,
+                       num_inliers=res.num_inliers,
+                       fitness_inf=fit_inf, fitness_range=fit_r)
+
+
+def _align_pairs_body(params, tgt_points, tgt_mask, tgt_covs,
+                      src_points, src_mask, src_covs,
+                      init_poses, max_iters,
+                      fitness_max_range) -> PairResults:
+    def one(tp, tm, tc, sp, sm, sc, ip, mi, fr):
+        return _pair_row(params, GICPCloud(sp, sm, sc),
+                         RegistrationTarget(gicp=GICPCloud(tp, tm, tc)),
+                         tp, tm, ip, mi, fr)
+
+    return jax.vmap(one)(tgt_points, tgt_mask, tgt_covs,
+                         src_points, src_mask, src_covs,
+                         init_poses, max_iters, fitness_max_range)
+
+
+def _pack_rows(res: PairResults) -> jnp.ndarray:
     f32 = jnp.float32
     return jnp.concatenate([
         res.pose,
@@ -377,31 +420,43 @@ def _align_pairs_packed(stat, dyn, tgts, srcs, init_poses, max_iters,
         res.fitness_range[:, None]], axis=1)
 
 
-def _align_pairs_body(params, tgt_points, tgt_mask, tgt_covs,
-                      src_points, src_mask, src_covs,
-                      init_poses, max_iters,
-                      fitness_max_range) -> PairResults:
-    def one(tp, tm, tc, sp, sm, sc, ip, mi, fr):
-        src = GICPCloud(sp, sm, sc)
-        tgt = RegistrationTarget(gicp=GICPCloud(tp, tm, tc))
-        res = _align_impl(params, src, tgt, ip, mi)
-        moved = se3.pose_apply(res.pose, sp)
-        d2, _ = knn.nearest_neighbor(moved, tp, tm)
-        ok = sm & jnp.isfinite(d2)
-        n_inf = jnp.sum(ok.astype(jnp.int32))
-        fit_inf = jnp.where(n_inf > 0,
-                            jnp.sum(jnp.where(ok, d2, 0.0))
-                            / jnp.maximum(n_inf, 1), jnp.inf)
-        okr = ok & (d2 <= fr * fr)
-        n_r = jnp.sum(okr.astype(jnp.int32))
-        fit_r = jnp.where(n_r > 0,
-                          jnp.sum(jnp.where(okr, d2, 0.0))
-                          / jnp.maximum(n_r, 1), jnp.inf)
-        return PairResults(pose=res.pose, converged=res.converged,
-                           iterations=res.iterations,
-                           num_inliers=res.num_inliers,
-                           fitness_inf=fit_inf, fitness_range=fit_r)
+def align_pairs_voxel_packed(params: RegistrationConfig,
+                             tgt_maps, tgt_clouds, srcs,
+                             init_poses, max_iters,
+                             fitness_max_range) -> jnp.ndarray:
+    """`align_pairs_packed` for the voxel-target family (VGICP/NDT).
 
-    return jax.vmap(one)(tgt_points, tgt_mask, tgt_covs,
-                         src_points, src_mask, src_covs,
-                         init_poses, max_iters, fitness_max_range)
+    `tgt_maps` are per-keyframe `GaussianVoxelMap`s (cached like the GICP
+    covariances), `tgt_clouds` the corresponding raw `PointCloud`s for the
+    fitness NN pass, `srcs` the per-keyframe `GICPCloud`s (identity
+    covariances for NDT). Same packed (B, 12) single-fetch contract."""
+    stat, dyn = split_reg(params)
+    return _align_pairs_voxel_packed(stat, dyn, tuple(tgt_maps),
+                                     tuple(tgt_clouds), tuple(srcs),
+                                     init_poses, max_iters,
+                                     fitness_max_range)
+
+
+@functools.partial(jax.jit, static_argnames=("stat",))
+def _align_pairs_voxel_packed(stat, dyn, tgt_maps, tgt_clouds, srcs,
+                              init_poses, max_iters,
+                              fitness_max_range) -> jnp.ndarray:
+    from .gaussian_voxel import GaussianVoxelMap
+
+    params = RegView(stat, dyn)
+    vox = GaussianVoxelMap(*[jnp.stack([getattr(m, f) for m in tgt_maps])
+                             for f in GaussianVoxelMap._fields])
+    tp = jnp.stack([c.points for c in tgt_clouds])
+    tm = jnp.stack([c.mask for c in tgt_clouds])
+    sp = jnp.stack([s.points for s in srcs])
+    sm = jnp.stack([s.mask for s in srcs])
+    sc = jnp.stack([s.covs for s in srcs])
+
+    def one(vox_row, tp_, tm_, sp_, sm_, sc_, ip, mi, fr):
+        return _pair_row(params, GICPCloud(sp_, sm_, sc_),
+                         RegistrationTarget(voxels=vox_row),
+                         tp_, tm_, ip, mi, fr)
+
+    res = jax.vmap(one)(vox, tp, tm, sp, sm, sc,
+                        init_poses, max_iters, fitness_max_range)
+    return _pack_rows(res)

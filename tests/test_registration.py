@@ -208,3 +208,45 @@ def test_align_pairs_packed_matches_unpacked(rng):
     np.testing.assert_allclose(packed[1, :7], np.asarray(init[1]))
     # the registered rows recovered the transform
     assert np.linalg.norm(packed[0, :3] - np.asarray(gt)[:3]) < 0.05
+
+
+@pytest.mark.parametrize("method", ["FAST_VGICP", "NDT"])
+def test_pair_runner_voxel_methods(rng, method):
+    """Voxel-target methods (VGICP/NDT) run through the same batched
+    bucket program as the GICP family: registration rows recover the
+    transform, evaluate-only rows keep their pose and report fitness."""
+    from mrg_slam_tpu.models.keyframe import KeyFrame
+    from mrg_slam_tpu.models.pair_runner import PairRequest, PairRunner
+
+    pts = structured_scene(rng, n=900)
+    gt = true_pose()
+    src_pts = np.asarray(se3.pose_apply(se3.pose_inverse(gt),
+                                        jnp.asarray(pts)))
+    params = RegistrationConfig(registration_method=method,
+                                reg_resolution=2.0,
+                                reg_transformation_epsilon=1e-4,
+                                reg_maximum_iterations=64)
+
+    def kf(p):
+        k = KeyFrame.__new__(KeyFrame)
+        k.cloud = PointCloud.from_array(p, capacity=1024)
+        return k
+
+    tgt_kf, src_kf = kf(pts), kf(src_pts)
+    runner = PairRunner(params)
+    assert runner.voxel_target
+    ident = np.asarray([0, 0, 0, 1, 0, 0, 0], np.float32)
+    results = runner.run([
+        PairRequest(target=tgt_kf, source=src_kf, init_pose=ident,
+                    max_iters=params.reg_maximum_iterations,
+                    fitness_max_range=2.0),
+        PairRequest(target=tgt_kf, source=tgt_kf, init_pose=ident),
+    ])
+    reg_row, eval_row = results
+    gt_np = np.asarray(gt)
+    assert np.linalg.norm(reg_row.pose[:3] - gt_np[:3]) < 0.15
+    assert reg_row.num_inliers > 500
+    # evaluate-only: pose untouched, self-fitness ~0
+    np.testing.assert_array_equal(eval_row.pose, ident)
+    assert eval_row.iterations == 0
+    assert eval_row.fitness_inf < 1e-6
