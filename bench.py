@@ -83,8 +83,14 @@ def main():
         reg_transformation_epsilon=1e-2,
         reg_covariance_mode="radius", reg_covariance_radius=0.6,
         reg_max_correspondence_distance=2.0)
+    # transform thresholding catches inlier-rich-but-aliased registrations
+    # (repetitive pillar structure can pull a solve tens of meters in one
+    # frame); ~1 m/frame motion here, so 2.5 m / 0.5 rad is a loose gate
     odo_cfg = ScanMatchingOdometryConfig(keyframe_delta_translation=1.0,
-                                         registration=reg)
+                                         registration=reg,
+                                         enable_transform_thresholding=True,
+                                         max_acceptable_translation=2.5,
+                                         max_acceptable_angle=0.5)
     import dataclasses
     slam_cfg = SlamConfig(
         own_name="bench", multi_robot_names=("bench",),
@@ -182,6 +188,80 @@ def main():
     jax.block_until_ready(last)
     fps_odom = N_FRAMES / (time.perf_counter() - t0)
 
+    # two-robot full SLAM: overlapping circle windows, odom + slam-pose
+    # broadcasts, on-demand delta-graph exchange (PublishGraph service),
+    # joint optimization with inter-robot loop closures — the reference's
+    # headline multi-robot deployment (apps/mrg_slam_component.cpp:517-683)
+    # measured end-to-end on the chip. Reuses every compiled program from
+    # the single-robot run (identical shapes/capacities).
+    def init_pose_of(p):
+        yaw = 2.0 * np.arctan2(p[6], p[3])
+        return (float(p[0]), float(p[1]), float(p[2]), float(yaw), 0.0, 0.0)
+
+    windows = {"alpha": (0, 72), "bravo": (54, 120)}
+    def run_multirobot():
+        slams, carries, peers = {}, {}, {}
+        for name, (lo, _) in windows.items():
+            cfg_r = dataclasses.replace(
+                slam_cfg, own_name=name,
+                multi_robot_names=("alpha", "bravo"),
+                init_pose=init_pose_of(np.asarray(traj[lo])))
+            slams[name] = MrgSlam(cfg_r)
+            carries[name] = fused.init_carry(FILTERED)
+        peers["alpha"], peers["bravo"] = slams["bravo"], slams["alpha"]
+
+        def request_fn_for(requester):
+            return lambda peer, req: peers[requester].handle_publish_graph(req)
+
+        n_local = max(hi - lo for lo, hi in windows.values())
+        for s in range(0, n_local, BLOCK):
+            for name, (lo, hi) in windows.items():
+                if s >= hi - lo:
+                    continue
+                e = min(s + BLOCK, hi - lo)
+                slam = slams[name]
+                fpts, fmask = prefilter_batch(raw_d[lo + s:lo + e],
+                                              rmask_d[lo + s:lo + e])
+                carries[name], outs = fused.run_batch(
+                    odo_cfg, carries[name], fpts, fmask, stamps[s:e])
+                poses = np.asarray(outs.pose)
+                for i in range(poses.shape[0]):
+                    bc = slam.process_scan((s + i) * 0.1, poses[i],
+                                           PointCloud(fpts[i], fmask[i]))
+                    peers[name].on_odom_broadcast(bc)
+            now = (s + BLOCK) * 0.1
+            for name in slams:
+                slams[name].optimization_tick(now=now)
+                sp = slams[name].slam_pose_broadcast(now)
+                if sp is not None:
+                    peers[name].on_slam_pose_broadcast(
+                        sp, now=now,
+                        request_fn=request_fn_for(peers[name].own_name))
+        for name in slams:
+            slams[name].optimization_tick(now=n_local * 0.1)
+        return slams
+
+    slams = run_multirobot()  # warmup (graph-merge paths compile here)
+    t0 = time.perf_counter()
+    slams = run_multirobot()
+    dt_mr = time.perf_counter() - t0
+    n_scans = sum(hi - lo for lo, hi in windows.values())
+    fps_mr = n_scans / dt_mr
+    mr_ates, n_remote = [], 0
+    for name, (lo, hi) in windows.items():
+        own = sorted(slams[name].db.own_keyframes(), key=lambda k: k.stamp)
+        est = np.stack([k.estimate(slams[name].db.graph) for k in own])
+        gt = traj[[lo + int(round(k.stamp / 0.1)) for k in own]]
+        mr_ates.append(ate_rmse(est[:, :3], np.asarray(gt)[:, :3]))
+        n_remote += sum(1 for k in slams[name].db.keyframes
+                        + slams[name].db.new_keyframes
+                        if k.robot_name != name)
+    xbytes = sum(sum(s.received_graph_bytes) for s in slams.values())
+    print(f"# two-robot SLAM: {n_scans} scans in {dt_mr:.3f}s "
+          f"({fps_mr:.1f} scans/s); ATE {max(mr_ates):.3f} m worst robot, "
+          f"{n_remote} merged remote keyframes, "
+          f"{xbytes / 1e6:.2f} MB exchanged", file=sys.stderr)
+
     # 1024-node pose-graph solve wall time on this chip (VERDICT item 6).
     # dense (equilibrated f32 Cholesky on the MXU) measured 6.5x faster
     # than block-Jacobi PCG at this size (412 ms/18 LM iters vs 2.7 s at
@@ -197,12 +277,22 @@ def main():
                             g2o_solver_num_iterations=64)
     res = solve.optimize(g, cfg1k)  # compile
     jax.block_until_ready(res.poses)
-    t0 = time.perf_counter()
-    res = solve.optimize(g, cfg1k)
-    jax.block_until_ready(res.poses)
-    dt_solve = time.perf_counter() - t0
+    # median of 3 reps, each on slightly perturbed translations: a rerun on
+    # byte-identical inputs has been observed to return in ~8 ms through
+    # the remote tunnel (result memoization), 50x below the honest solve
+    # wall — distinct inputs defeat it
+    reps = []
+    for k in range(3):
+        gk = g._replace(poses=g.poses.at[:, :3].add(1e-4 * (k + 1)))
+        jax.block_until_ready(gk.poses)
+        t0 = time.perf_counter()
+        res = solve.optimize(gk, cfg1k)
+        jax.block_until_ready(res.poses)
+        reps.append(time.perf_counter() - t0)
+    dt_solve = sorted(reps)[1]
     print(f"# 1024-node solve {dt_solve * 1e3:.1f} ms "
-          f"(chi2 {float(res.chi2_initial):.1f} -> "
+          f"(reps {[round(r * 1e3, 1) for r in reps]}; "
+          f"chi2 {float(res.chi2_initial):.1f} -> "
           f"{float(res.chi2_final):.3f}, {int(res.iterations)} iters)",
           file=sys.stderr)
 
@@ -216,6 +306,10 @@ def main():
             "keyframes": n_kf, "loops": n_loops,
             "ate_m": round(ate, 3), "ate_odometry_only_m": round(ate_odom, 3),
             "solve_1024_node_ms": round(dt_solve * 1e3, 1),
+            "two_robot_scans_per_s": round(fps_mr, 2),
+            "two_robot_worst_ate_m": round(max(mr_ates), 3),
+            "two_robot_merged_remote_keyframes": n_remote,
+            "two_robot_exchanged_mb": round(xbytes / 1e6, 2),
         },
     }))
 

@@ -39,6 +39,7 @@ class OdomCarry(NamedTuple):
     last_delta: jnp.ndarray      # (7,) scan-to-scan
     prev_pose: jnp.ndarray       # (7,)
     initialized: jnp.ndarray     # bool
+    rejections: jnp.ndarray      # i32 consecutive jump rejections
 
 
 class OdomStepOut(NamedTuple):
@@ -59,7 +60,7 @@ def init_carry(capacity: int) -> OdomCarry:
                                      (capacity, 3, 3)),
         keyframe_pose=ident, keyframe_stamp=jnp.float32(0.0),
         prev_rel=ident, last_delta=ident, prev_pose=ident,
-        initialized=jnp.bool_(False))
+        initialized=jnp.bool_(False), rejections=jnp.int32(0))
 
 
 def _split_odom(cfg: ScanMatchingOdometryConfig):
@@ -68,7 +69,11 @@ def _split_odom(cfg: ScanMatchingOdometryConfig):
     dyn = dict(reg=reg_dyn,
                kf_trans=jnp.float32(cfg.keyframe_delta_translation),
                kf_angle=jnp.float32(cfg.keyframe_delta_angle),
-               kf_time=jnp.float32(cfg.keyframe_delta_time))
+               kf_time=jnp.float32(cfg.keyframe_delta_time),
+               thresholding=jnp.bool_(cfg.enable_transform_thresholding),
+               max_trans=jnp.float32(cfg.max_acceptable_translation),
+               max_angle=jnp.float32(cfg.max_acceptable_angle),
+               max_rejections=jnp.int32(cfg.max_consecutive_rejections))
     return stat, dyn
 
 
@@ -97,8 +102,30 @@ def _odometry_step_split(stat, dyn, carry: OdomCarry,
     result = reg._align_impl(params, source, target, guess,
                              params.reg_maximum_iterations)
 
-    finite = jnp.isfinite(result.pose).all()
-    rel = jnp.where(finite, result.pose, carry.prev_rel)
+    # keep-last on failure (scan_matching_odometry_component.cpp:270-273):
+    # a registration that lost ALL correspondences returns its (possibly
+    # garbage) running pose — accepting it poisons `last_delta`, and the
+    # constant-velocity guess then launches every subsequent solve out of
+    # correspondence range (a permanent ~keyframe-sized ping-pong observed
+    # on-chip). Zero inliers / non-finite gates acceptance; solves that
+    # merely exhausted the iteration budget keep their (useful) estimate,
+    # like the reference front-end, with the jump-rejection gate below as
+    # the guard against inlier-rich-but-wrong aliased alignments.
+    ok = (result.num_inliers > 0) & jnp.isfinite(result.pose).all()
+    rel = jnp.where(ok, result.pose, carry.prev_rel)
+
+    # transform-jump rejection with forced re-acceptance after
+    # max_consecutive_rejections (:278-315), as masked selects
+    jd = se3.pose_between(carry.prev_rel, rel)
+    jump = ((jnp.linalg.norm(jd[:3]) > dyn["max_trans"])
+            | (se3.rotation_angle(jd[3:7]) > dyn["max_angle"]))
+    reject = (dyn["thresholding"] & jump
+              & (carry.rejections < dyn["max_rejections"]))
+    rel = jnp.where(reject, carry.prev_rel, rel)
+    rejections = jnp.where(dyn["thresholding"] & jump,
+                           jnp.where(reject, carry.rejections + 1,
+                                     jnp.int32(0)),
+                           jnp.int32(0))
 
     pose = se3.pose_compose(carry.keyframe_pose, rel)
     delta = se3.pose_between(carry.prev_pose, pose)
@@ -127,9 +154,9 @@ def _odometry_step_split(stat, dyn, carry: OdomCarry,
         keyframe_stamp=jnp.where(new_kf, jnp.float32(stamp),
                                  carry.keyframe_stamp),
         prev_rel=rel_out, last_delta=delta, prev_pose=pose,
-        initialized=jnp.bool_(True))
+        initialized=jnp.bool_(True), rejections=rejections)
     out = OdomStepOut(pose=pose, delta=delta, is_new_keyframe=new_kf,
-                      converged=result.converged | (result.iterations > 0),
+                      converged=ok,
                       error=result.error, num_inliers=result.num_inliers)
     return carry2, out
 

@@ -65,3 +65,59 @@ def test_fused_batch_matches_stepwise():
     _, outs = fused.run_batch(CFG, carry2, pts, masks, stamps)
     batch_poses = np.asarray(outs.pose)
     np.testing.assert_allclose(batch_poses, np.stack(step_poses), atol=1e-5)
+
+
+def test_fused_no_inlier_keeps_last_and_recovers():
+    """A scan with zero correspondences (e.g. total occlusion / sensor
+    glitch) must NOT poison the odometry: the step keeps the last relative
+    pose instead of adopting the registration's garbage running estimate
+    (which previously spiralled into a permanent keyframe-sized ping-pong
+    via the constant-velocity guess), and the next good scan re-locks."""
+    traj, pts, masks = make_frames(12)
+    carry = fused.init_carry(pts.shape[1])
+    poses = []
+    far = pts[5] + 1000.0  # valid mask, hopelessly out of range
+    for i in range(12):
+        p = far if i == 5 else pts[i]
+        carry, out = fused.odometry_step(CFG, carry, p, masks[i],
+                                         jnp.float32(i * 0.1))
+        poses.append(np.asarray(out.pose))
+        if i == 5:
+            assert not bool(out.converged)
+            assert int(out.num_inliers) == 0
+    est = np.stack(poses)
+    steps = np.linalg.norm(np.diff(est[:, :3], axis=0), axis=1)
+    # nominal motion is ~3.1 m/frame here; the glitch frame must produce a
+    # zero step (keep-last) and recovery stays bounded — no 1000 m jump,
+    # no ping-pong
+    assert steps[4] < 1e-3, steps
+    assert steps.max() < 6.0, steps
+    # post-glitch frames keep tracking the circle
+    ate = ate_rmse(est[6:, :3], traj[6:, :3])
+    assert ate < 1.0, ate
+
+
+def test_fused_jump_rejection_blocks_alias():
+    """enable_transform_thresholding: an inlier-rich but wildly wrong
+    relative pose is rejected (keep-last) until max_consecutive_rejections
+    forces re-acceptance — scan_matching_odometry_component.cpp:278-315."""
+    import dataclasses
+
+    traj, pts, masks = make_frames(10)
+    cfg = dataclasses.replace(CFG, enable_transform_thresholding=True,
+                              max_acceptable_translation=0.05,
+                              max_acceptable_angle=0.05,
+                              max_consecutive_rejections=3)
+    carry = fused.init_carry(pts.shape[1])
+    carry, _ = fused.odometry_step(cfg, carry, pts[0], masks[0],
+                                   jnp.float32(0.0))
+    # frame 1 moves ~0.9 m -> exceeds the (absurdly tight) gate -> rejected
+    carry, out1 = fused.odometry_step(cfg, carry, pts[1], masks[1],
+                                      jnp.float32(0.1))
+    assert np.linalg.norm(np.asarray(out1.pose)[:3]) < 0.05
+    assert int(carry.rejections) == 1
+    # after max_consecutive_rejections the gate force-accepts
+    for i in (2, 3, 4):
+        carry, out = fused.odometry_step(cfg, carry, pts[i], masks[i],
+                                         jnp.float32(i * 0.1))
+    assert np.linalg.norm(np.asarray(out.pose)[:3]) > 0.5
