@@ -451,26 +451,32 @@ def _optimize_split(stat, dyn, g: PoseGraphData) -> OptimizeResult:
         return _optimize_body(stat, dyn, g)
 
 
-def _optimize_body(stat, dyn, g: PoseGraphData) -> OptimizeResult:
+def _optimize_body(stat, dyn, g: PoseGraphData,
+                   axis_name=None) -> OptimizeResult:
+    """Shared LM loop. With `axis_name` set this body runs SPMD inside a
+    shard_map over edge shards (parallel/dist_solver.py) — every reduction
+    (chi2, gradient, diag blocks, dense assembly, Hv) psums over that axis
+    and the replicated-state control flow (lambda schedule, accept/reject,
+    early stop) is byte-identical to the single-device path."""
     solver_backend, is_lm = stat
     max_outer = dyn["max_outer"]
 
-    chi2_0 = chi2_only(g)
+    chi2_0 = chi2_only(g, axis_name=axis_name)
 
     def solve_delta(g_, lam, g0norm):
         """-> (dx_n, dx_p, pred_reduction, gradient_inf_norm)."""
-        lin = linearize(g_)
-        D_n, D_p = block_diagonal(g_, lin)
+        lin = linearize(g_, axis_name=axis_name)
+        D_n, D_p = block_diagonal(g_, lin, axis_name=axis_name)
         d_n = jnp.diagonal(D_n, axis1=-2, axis2=-1)
         d_p = jnp.diagonal(D_p, axis1=-2, axis2=-1)
         if solver_backend == "dense":
-            H, b, free = assemble_dense(g_, lin)
+            H, b, free = assemble_dense(g_, lin, axis_name=axis_name)
             x, pred, gnorm = dense_delta(H, b, free, lam)
             n = g_.n_nodes
             dx_n = x[: 6 * n].reshape(n, 6)
             dx_p = x[6 * n:].reshape(g_.n_planes, 3)
         else:
-            g_n, g_p = gradient(g_, lin)
+            g_n, g_p = gradient(g_, lin, axis_name=axis_name)
             gnorm = jnp.maximum(jnp.max(jnp.abs(g_n)), jnp.max(jnp.abs(g_p)))
             fn, fp = _free_masks(g_)
             eye6 = jnp.eye(6, dtype=jnp.float32)
@@ -481,7 +487,7 @@ def _optimize_body(stat, dyn, g: PoseGraphData) -> OptimizeResult:
                         + (1 - fp[..., None]) * eye3)
             M_n = _inv_sym(damped_n)
             M_p = _inv_sym(damped_p)
-            hvp = make_hvp(g_, lin)
+            hvp = make_hvp(g_, lin, axis_name=axis_name)
             # Eisenstat-Walker forcing: early LM steps only need a crude
             # Newton direction — solve CG to a tolerance proportional to
             # gradient progress instead of burning cg_max iterations on a
@@ -503,7 +509,7 @@ def _optimize_body(stat, dyn, g: PoseGraphData) -> OptimizeResult:
         dx_n, dx_p, pred, gnorm = solve_delta(g_, lam, g0norm)
         g0norm = jnp.where(g0norm < 0, gnorm, g0norm)
         g_new = _retract_all(g_, dx_n, dx_p)
-        chi2_new = chi2_only(g_new)
+        chi2_new = chi2_only(g_new, axis_name=axis_name)
         accept = chi2_new <= chi2
         if is_lm:
             # Nielsen's gain-ratio schedule: excellent steps slash lambda

@@ -112,73 +112,16 @@ def _optimize_distributed_split(is_lm, backend, mesh: Mesh, dyn,
             *[0] * len(solve.OptimizeResult._fields))),
         check_vma=False)
     def run(g_local: PoseGraphData, dyn) -> solve.OptimizeResult:
-        chi2_0 = solve.chi2_only(g_local, axis_name=AXIS)
-
-        def solve_delta(g_, lam):
-            lin = solve.linearize(g_, axis_name=AXIS)
-            if backend == "dense":
-                # scaling-book split: O(E) linearization + assembly runs
-                # on the edge shards, ONE psum replicates the (D,D)
-                # Hessian, and the equilibrated Cholesky runs replicated
-                # on every device — exact Newton steps (no block-Jacobi CG
-                # diffusion limit across long graph diameters) for graphs
-                # whose dense Hessian fits a chip
-                H, b, free = solve.assemble_dense(g_, lin, axis_name=AXIS)
-                x, _, _ = solve.dense_delta(H, b, free, lam)
-                n = g_.poses.shape[0]
-                dx_n = x[: 6 * n].reshape(n, 6)
-                dx_p = x[6 * n:].reshape(-1, 3)
-                return dx_n, dx_p
-            D_n, D_p = solve.block_diagonal(g_, lin, axis_name=AXIS)
-            d_n = jnp.diagonal(D_n, axis1=-2, axis2=-1)
-            d_p = jnp.diagonal(D_p, axis1=-2, axis2=-1)
-            g_n, g_p = solve.gradient(g_, lin, axis_name=AXIS)
-            fn, fp = solve._free_masks(g_)
-            eye6 = jnp.eye(6, dtype=jnp.float32)
-            eye3 = jnp.eye(3, dtype=jnp.float32)
-            damped_n = (D_n + (lam * d_n[..., None] + 1e-6) * eye6
-                        + (1 - fn[..., None]) * eye6)
-            damped_p = (D_p + (lam * d_p[..., None] + 1e-6) * eye3
-                        + (1 - fp[..., None]) * eye3)
-            M_n = solve._inv_sym(damped_n)
-            M_p = solve._inv_sym(damped_p)
-            hvp = solve.make_hvp(g_, lin, axis_name=AXIS)
-            dx_n, dx_p = solve.pcg_solve(hvp, -g_n, -g_p, M_n, M_p, lam,
-                                         d_n, d_p, dyn["cg_max"],
-                                         dyn["cg_tol"])
-            return dx_n, dx_p
-
-        def cond(s):
-            _, lam, chi2, it, done = s
-            return (it < dyn["max_outer"]) & ~done
-
-        def body(s):
-            g_, lam, chi2, it, done = s
-            dx_n, dx_p = solve_delta(g_, lam)
-            g_new = solve._retract_all(g_, dx_n, dx_p)
-            chi2_new = solve.chi2_only(g_new, axis_name=AXIS)
-            accept = chi2_new <= chi2
-            if is_lm:
-                lam_next = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-12),
-                                     jnp.minimum(lam * 4.0, 1e10))
-            else:
-                lam_next = lam
-            g_out = g_._replace(
-                poses=jnp.where(accept, g_new.poses, g_.poses),
-                planes=jnp.where(accept, g_new.planes, g_.planes))
-            rel = (chi2 - chi2_new) / jnp.maximum(chi2, 1e-12)
-            done_now = ((accept & (rel < dyn["chi2_rel_tol"]))
-                        | (lam_next > 1e8))
-            return (g_out, lam_next, jnp.where(accept, chi2_new, chi2),
-                    it + 1, done_now)
-
-        lam0 = jnp.where(is_lm, dyn["lam0"], jnp.float32(1e-9))
-        state = (g_local, lam0, chi2_0, jnp.int32(0), jnp.bool_(False))
-        g_fin, lam_fin, chi2_fin, iters, _ = jax.lax.while_loop(
-            cond, body, state)
-        return solve.OptimizeResult(
-            poses=g_fin.poses, planes=g_fin.planes, chi2_initial=chi2_0,
-            chi2_final=chi2_fin, iterations=iters, lambda_final=lam_fin)
+        # The single-device LM body, run SPMD: every reduction inside
+        # (chi2, gradient, diag blocks, dense assembly, Hv) psums over the
+        # edge axis, and all control-flow state (Nielsen gain-ratio lambda
+        # schedule, Eisenstat-Walker CG forcing, accept/reject, early stop)
+        # is replicated — numerics identical to graph.solve.optimize.
+        # For "dense": the scaling-book split — O(E) linearization +
+        # assembly on the edge shards, ONE psum replicates the (D,D)
+        # Hessian, equilibrated Cholesky runs replicated on every device.
+        return solve._optimize_body((backend, is_lm), dyn, g_local,
+                                    axis_name=AXIS)
 
     # same bf16-matmul hazard as the single-device solver (graph/solve.py):
     # the einsum reductions and block inverses must run f32-highest on TPU
