@@ -192,53 +192,89 @@ def main():
     # broadcasts, on-demand delta-graph exchange (PublishGraph service),
     # joint optimization with inter-robot loop closures — the reference's
     # headline multi-robot deployment (apps/mrg_slam_component.cpp:517-683)
-    # measured end-to-end on the chip. Reuses every compiled program from
-    # the single-robot run (identical shapes/capacities).
+    # measured end-to-end on the chip. Robots BATCH on the chip: full
+    # frame blocks run both odometry chains in one vmapped dispatch
+    # (odometry_fused.run_batch_multi), and the back-end ticks share one
+    # dispatch chain (models/coordinator.py SharedTick) — R robots pay the
+    # device cost of one.
     def init_pose_of(p):
         yaw = 2.0 * np.arctan2(p[6], p[3])
         return (float(p[0]), float(p[1]), float(p[2]), float(yaw), 0.0, 0.0)
 
+    from mrg_slam_tpu.models.coordinator import SharedTick
+
     windows = {"alpha": (0, 72), "bravo": (54, 120)}
+    names = list(windows)
     def run_multirobot():
-        slams, carries, peers = {}, {}, {}
+        slams, peers = {}, {}
         for name, (lo, _) in windows.items():
             cfg_r = dataclasses.replace(
                 slam_cfg, own_name=name,
                 multi_robot_names=("alpha", "bravo"),
                 init_pose=init_pose_of(np.asarray(traj[lo])))
             slams[name] = MrgSlam(cfg_r)
-            carries[name] = fused.init_carry(FILTERED)
         peers["alpha"], peers["bravo"] = slams["bravo"], slams["alpha"]
+        ticker = SharedTick([slams[n] for n in names])
+        carries = jax.tree.map(lambda *x: jnp.stack(x),
+                               *[fused.init_carry(FILTERED) for _ in names])
 
         def request_fn_for(requester):
             return lambda peer, req: peers[requester].handle_publish_graph(req)
 
+        def ingest(name, s, fpts, fmask):
+            slam = slams[name]
+            poses = np.asarray(fused_outs[name])
+            for i in range(poses.shape[0]):
+                bc = slam.process_scan((s + i) * 0.1, poses[i],
+                                       PointCloud(fpts[i], fmask[i]))
+                peers[name].on_odom_broadcast(bc)
+
         n_local = max(hi - lo for lo, hi in windows.values())
         for s in range(0, n_local, BLOCK):
-            for name, (lo, hi) in windows.items():
-                if s >= hi - lo:
-                    continue
-                e = min(s + BLOCK, hi - lo)
-                slam = slams[name]
-                fpts, fmask = prefilter_batch(raw_d[lo + s:lo + e],
-                                              rmask_d[lo + s:lo + e])
-                carries[name], outs = fused.run_batch(
-                    odo_cfg, carries[name], fpts, fmask, stamps[s:e])
-                poses = np.asarray(outs.pose)
-                for i in range(poses.shape[0]):
-                    bc = slam.process_scan((s + i) * 0.1, poses[i],
-                                           PointCloud(fpts[i], fmask[i]))
-                    peers[name].on_odom_broadcast(bc)
+            spans = {n: (windows[n][0] + s,
+                         min(windows[n][0] + s + BLOCK, windows[n][1]))
+                     for n in names if s < windows[n][1] - windows[n][0]}
+            fused_outs = {}
+            if (len(spans) == len(names)
+                    and all(b - a == BLOCK for a, b in spans.values())):
+                # full blocks for every robot: ONE prefilter + ONE vmapped
+                # odometry dispatch + ONE pose fetch for all of them
+                fpts, fmask = prefilter_batch(
+                    jnp.concatenate([raw_d[a:b] for a, b in spans.values()]),
+                    jnp.concatenate([rmask_d[a:b] for a, b in spans.values()]))
+                R = len(names)
+                fpts = fpts.reshape(R, BLOCK, *fpts.shape[1:])
+                fmask = fmask.reshape(R, BLOCK, *fmask.shape[1:])
+                st2 = jnp.broadcast_to(stamps[s:s + BLOCK], (R, BLOCK))
+                carries, outs = fused.run_batch_multi(odo_cfg, carries,
+                                                      fpts, fmask, st2)
+                all_poses = np.asarray(outs.pose)  # (R, B, 7): one fetch
+                for r, name in enumerate(names):
+                    fused_outs[name] = all_poses[r]
+                    ingest(name, s, fpts[r], fmask[r])
+            else:
+                # ragged window tails fall back to per-robot blocks
+                for r, name in enumerate(names):
+                    if name not in spans:
+                        continue
+                    a, b = spans[name]
+                    fpts, fmask = prefilter_batch(raw_d[a:b], rmask_d[a:b])
+                    c_r = jax.tree.map(lambda x: x[r], carries)
+                    c_r, outs = fused.run_batch(odo_cfg, c_r, fpts, fmask,
+                                                stamps[s:s + (b - a)])
+                    carries = jax.tree.map(lambda f, n: f.at[r].set(n),
+                                           carries, c_r)
+                    fused_outs[name] = outs.pose
+                    ingest(name, s, fpts, fmask)
             now = (s + BLOCK) * 0.1
+            ticker.tick_all(now=now)  # ONE dispatch chain for all robots
             for name in slams:
-                slams[name].optimization_tick(now=now)
                 sp = slams[name].slam_pose_broadcast(now)
                 if sp is not None:
                     peers[name].on_slam_pose_broadcast(
                         sp, now=now,
                         request_fn=request_fn_for(peers[name].own_name))
-        for name in slams:
-            slams[name].optimization_tick(now=n_local * 0.1)
+        ticker.tick_all(now=n_local * 0.1)
         return slams
 
     slams = run_multirobot()  # warmup (graph-merge paths compile here)

@@ -371,3 +371,81 @@ class GraphSLAM:
         g = self.snapshot()
         cov = solve.marginals(g, exact=exact)
         return np.asarray(cov)[: self.num_nodes]
+
+
+def optimize_many(graphs) -> None:
+    """Batched cross-graph LM: stack R same-capacity graphs and run ONE
+    vmapped solve dispatch + ONE packed fetch for all of them.
+
+    The multi-robot analog of `GraphSLAM.optimize`: when several robots'
+    back-ends share a chip (models/coordinator.py), their per-tick solves
+    are independent same-shaped programs — batching them turns R
+    (dispatch + ~26 ms tunnel fetch) chains into one. Falls back to
+    sequential `optimize()` when capacities or solver configs differ.
+    Writes optimized estimates, chi2 stats, and per-tick marginals back
+    into each graph's staging buffers exactly like `optimize` does.
+    """
+    import jax
+
+    graphs = list(graphs)
+    if not graphs:
+        return
+    cfg0, cap0 = graphs[0].cfg, graphs[0].cap
+    if (len(graphs) == 1
+            or any(g.cfg != cfg0 or g.cap != cap0 for g in graphs[1:])):
+        for g in graphs:
+            g.optimize()
+        return
+
+    snaps = [g.snapshot() for g in graphs]
+    if cfg0.chordal_init:
+        from .chordal import chordal_init
+        snaps = [s._replace(poses=chordal_init(s)) for s in snaps]
+    gs = jax.tree.map(lambda *xs: jnp.stack(xs), *snaps)
+    stat = (cfg0.solver_backend, cfg0.g2o_solver_type.startswith("lm"))
+    dyn = dict(max_outer=jnp.int32(cfg0.g2o_solver_num_iterations),
+               chi2_rel_tol=jnp.float32(cfg0.chi2_rel_tol),
+               lam0=jnp.float32(cfg0.lm_initial_lambda),
+               cg_max=jnp.int32(cfg0.cg_max_iterations),
+               cg_tol=jnp.float32(cfg0.cg_tol))
+    res = solve._optimize_many_split(stat, dyn, gs)
+
+    mode = cfg0.per_tick_marginals
+    cov = None
+    if mode and mode != "none" and any(g.num_nodes for g in graphs):
+        g_opt = gs._replace(poses=res.poses, planes=res.planes)
+        if mode == "cg":
+            idx = jnp.arange(gs.poses.shape[1], dtype=jnp.int32)
+            cov = jax.vmap(
+                lambda g: solve.marginals_selected(g, idx))(g_opt)
+        else:
+            cov = solve.marginals_many(g_opt, exact=(mode == "exact"))
+
+    # one packed fetch for every graph (same RTT rationale as optimize())
+    R = len(graphs)
+    f32 = jnp.float32
+    parts = [res.poses.reshape(R, -1),
+             jnp.stack([res.chi2_initial, res.chi2_final,
+                        res.iterations.astype(f32)], axis=1)]
+    p_any = any(g._n_planes for g in graphs)
+    if p_any:
+        parts.append(res.planes.reshape(R, -1))
+    if cov is not None:
+        parts.append(cov.reshape(R, -1).astype(f32))
+    flat = np.asarray(jnp.concatenate(parts, axis=1))
+    npose = res.poses.shape[1] * 7
+    for r, g in enumerate(graphs):
+        row = flat[r]
+        n, p = g.num_nodes, g._n_planes
+        g._poses[:n] = row[:npose].reshape(-1, 7)[:n]
+        g.chi2_initial = float(row[npose])
+        g.chi2_final = float(row[npose + 1])
+        g.last_iterations = int(row[npose + 2])
+        off = npose + 3
+        if p_any:
+            nplane = res.planes.shape[1] * res.planes.shape[2]
+            g._planes[:p] = row[off:off + nplane].reshape(
+                res.planes.shape[1:])[:p]
+            off += nplane
+        if cov is not None:
+            g.last_marginals = row[off:].reshape(cov.shape[1:])[:n]

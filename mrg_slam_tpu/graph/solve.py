@@ -510,7 +510,11 @@ def _optimize_body(stat, dyn, g: PoseGraphData,
         g0norm = jnp.where(g0norm < 0, gnorm, g0norm)
         g_new = _retract_all(g_, dx_n, dx_p)
         chi2_new = chi2_only(g_new, axis_name=axis_name)
-        accept = chi2_new <= chi2
+        # `done` is sticky and freezes the state: in the scalar while_loop
+        # the body never runs once done, but under vmap (the batched
+        # cross-robot solve) the loop runs until EVERY graph finishes, so a
+        # finished graph must hold its result while the others iterate.
+        accept = (chi2_new <= chi2) & ~done
         if is_lm:
             # Nielsen's gain-ratio schedule: excellent steps slash lambda
             # toward Gauss-Newton (quadratic tail convergence); rejects
@@ -522,6 +526,8 @@ def _optimize_body(stat, dyn, g: PoseGraphData,
                                  jnp.minimum(lam * nu, 1e10))
             nu_next = jnp.where(accept, jnp.float32(2.0),
                                 jnp.minimum(nu * 2.0, jnp.float32(1e8)))
+            lam_next = jnp.where(done, lam, lam_next)
+            nu_next = jnp.where(done, nu, nu_next)
         else:
             lam_next = lam
             nu_next = nu
@@ -529,9 +535,11 @@ def _optimize_body(stat, dyn, g: PoseGraphData,
             poses=jnp.where(accept, g_new.poses, g_.poses),
             planes=jnp.where(accept, g_new.planes, g_.planes))
         rel_improve = (chi2 - chi2_new) / jnp.maximum(chi2, 1e-12)
-        done_now = (accept & (rel_improve < dyn["chi2_rel_tol"])) | (lam_next > 1e8)
+        done_now = (done | (accept & (rel_improve < dyn["chi2_rel_tol"]))
+                    | (lam_next > 1e8))
         chi2_out = jnp.where(accept, chi2_new, chi2)
-        return g_out, lam_next, nu_next, chi2_out, g0norm, it + 1, done_now
+        it_out = it + jnp.where(done, jnp.int32(0), jnp.int32(1))
+        return g_out, lam_next, nu_next, chi2_out, g0norm, it_out, done_now
 
     lam0 = jnp.where(is_lm, dyn["lam0"], jnp.float32(1e-9))
     state = (g, lam0, jnp.float32(2.0), chi2_0, jnp.float32(-1.0),
@@ -541,6 +549,27 @@ def _optimize_body(stat, dyn, g: PoseGraphData,
     return OptimizeResult(poses=g_fin.poses, planes=g_fin.planes,
                           chi2_initial=chi2_0, chi2_final=chi2_fin,
                           iterations=iters, lambda_final=lam_fin)
+
+
+@functools.partial(jax.jit, static_argnames=("stat",))
+def _optimize_many_split(stat, dyn, gs: PoseGraphData) -> OptimizeResult:
+    """Batched LM over a leading graph axis.
+
+    The cross-robot solve (models/coordinator.py): every robot hosted on
+    the chip optimizes its own pose graph in ONE dispatch — the vmapped
+    while_loop runs lockstep until the slowest graph's early stop, which
+    still beats R separate ~26 ms-round-trip dispatches. Same numerics as
+    `optimize` (the body is shared)."""
+    with jax.default_matmul_precision("highest"):
+        return jax.vmap(lambda g: _optimize_body(stat, dyn, g))(gs)
+
+
+@functools.partial(jax.jit, static_argnames=("exact",))
+def marginals_many(gs: PoseGraphData, exact: bool = True) -> jnp.ndarray:
+    """Batched `marginals` over a leading graph axis (one dispatch for all
+    hosted robots' per-tick covariance blocks)."""
+    with jax.default_matmul_precision("highest"):
+        return jax.vmap(lambda g: _marginals_body(g, exact))(gs)
 
 
 @functools.partial(jax.jit, static_argnames=("exact",))

@@ -185,6 +185,31 @@ class MrgSlam:
         registration), phase-2 pair program (consistency checks of the
         selected candidates), and the jitted LM solve.
         """
+        pre = self._tick_begin(now)
+        if pre is None:
+            return None
+        stats, deferred, edge_reqs = pre
+
+        self.status.in_loop_closure = True
+        t0 = time.perf_counter()
+        loops, edge_results = self.loop_detector.detect(self.db, edge_reqs)
+        stats.loop_closure_us = (time.perf_counter() - t0) * 1e6
+        self.status.in_loop_closure = False
+        self._tick_insert(stats, deferred, edge_results, loops)
+
+        self.status.in_optimization = True
+        t0 = time.perf_counter()
+        self.db.optimize()
+        stats.optimization_us = (time.perf_counter() - t0) * 1e6
+        self.status.in_optimization = False
+        self._tick_post(stats)
+        return stats
+
+    # -- tick stages (shared with models/coordinator.py) ----------------
+    def _tick_begin(self, now: float):
+        """Init + queue flushes + the deferred-edge fitness requests.
+        Returns (stats, deferred_edges, edge_requests), or None when the
+        tick has nothing to do."""
         stats = TickStats()
         if not self._init_done and self.db.keyframe_queue:
             # set_init_pose (:458): odom2map starts at the configured pose
@@ -213,26 +238,21 @@ class MrgSlam:
             target=self.db.uuid_keyframe_map[e.from_uuid],
             source=self.db.uuid_keyframe_map[e.to_uuid],
             init_pose=e.relative_pose) for e in deferred)
+        return stats, deferred, edge_reqs
 
-        self.status.in_loop_closure = True
-        t0 = time.perf_counter()
-        loops, edge_results = self.loop_detector.detect(self.db, edge_reqs)
-        stats.loop_closure_us = (time.perf_counter() - t0) * 1e6
+    def _tick_insert(self, stats: TickStats, deferred, edge_results,
+                     loops) -> None:
+        """Weight + insert the tick's new edges and accepted loops."""
         stats.num_loops = len(loops)
-        self.status.in_loop_closure = False
         self.db.finalize_edges(deferred,
                                [r.fitness_inf for r in edge_results])
         self.db.insert_loops(loops)
 
-        self.status.in_optimization = True
-        t0 = time.perf_counter()
-        self.db.optimize()
-        stats.optimization_us = (time.perf_counter() - t0) * 1e6
+    def _tick_post(self, stats: TickStats) -> None:
+        """Post-solve bookkeeping: odom2map re-estimation, snapshots."""
         stats.chi2_before = self.db.graph.chi2_initial
         stats.chi2_after = self.db.graph.chi2_final
         stats.iterations = self.db.graph.last_iterations
-        self.status.in_optimization = False
-
         # re-estimate odom2map from our latest keyframe (:864-880)
         prev = self.db.prev_robot_keyframe
         if prev is not None and prev.node_id is not None:
@@ -255,7 +275,6 @@ class MrgSlam:
         # per-tick trajectory snapshot (:896 -> graph_database.cpp:599)
         self.db.save_keyframe_poses()
         self.tick_stats.append(stats)
-        return stats
 
     def optimization_tick_async(self, now: float = 0.0):
         """Run the tick on a single worker thread, concurrent with scan

@@ -73,8 +73,35 @@ class LoopDetector:
         without another device pass. `extra_requests` (e.g. the tick's
         odometry-edge fitness passes) ride in the same phase-1 dispatch;
         their results come back in order.
+
+        The phase methods below are also driven directly by the
+        cross-robot coordinator (models/coordinator.py), which concatenates
+        every hosted robot's requests into ONE shared dispatch per phase.
         """
         t0 = time.perf_counter()
+        requests, jobs = self.phase1_requests(db, extra_requests)
+        if not requests:
+            return [], []
+
+        results = self.runner.run(requests)
+        extra_results = results[: len(extra_requests)]
+        best_per_job = self.phase1_select(jobs, results, len(extra_requests))
+        loops, cons_requests, cons_meta = self.phase2_requests(db,
+                                                               best_per_job)
+        cons_results = self.runner.run(cons_requests)
+        loops += self.phase2_accept(cons_meta, cons_results)
+        if jobs:
+            self.loop_detection_times.append(
+                (time.perf_counter() - t0) * 1e6)
+        return loops, extra_results
+
+    # -- phase methods (shared with models/coordinator.py) ---------------
+    def phase1_requests(self, db: GraphDatabase,
+                        extra_requests: Tuple[PairRequest, ...] = ()
+                        ) -> Tuple[List[PairRequest],
+                                   List[Tuple[KeyFrame, List[KeyFrame]]]]:
+        """Host-side candidate filtering -> the phase-1 registration batch
+        (prefixed by `extra_requests`, which ride the same dispatch)."""
         jobs: List[Tuple[KeyFrame, List[KeyFrame]]] = []
         requests: List[PairRequest] = list(extra_requests)
         for new_kf in db.new_keyframes:
@@ -90,17 +117,13 @@ class LoopDetector:
                     max_iters=self.reg_cfg.reg_maximum_iterations,
                     fitness_max_range=self.cfg.fitness_score_max_range))
             jobs.append((new_kf, candidates))
-        if not requests:
-            return [], []
+        return requests, jobs
 
-        results = self.runner.run(requests)
-        extra_results = results[: len(extra_requests)]
-
-        # phase 1 selection: best gated fitness per new keyframe
-        # (loop_detector.cpp:150-160: skip non-converged, keep best, then
-        # threshold on fitness_score_thresh)
+    def phase1_select(self, jobs, results, n_extra: int):
+        """Best gated fitness per new keyframe (loop_detector.cpp:150-160:
+        skip non-converged, keep best, threshold on fitness_score_thresh)."""
         best_per_job = []
-        k = len(extra_requests)
+        k = n_extra
         for new_kf, candidates in jobs:
             best = None
             best_score = float("inf")
@@ -115,8 +138,12 @@ class LoopDetector:
             if best is None or best_score > self.cfg.fitness_score_thresh:
                 continue
             best_per_job.append((new_kf, best, best_res))
+        return best_per_job
 
-        # phase 2: consistency-check registrations for the selected bests
+    def phase2_requests(self, db: GraphDatabase, best_per_job
+                        ) -> Tuple[List[Loop], List[PairRequest], List]:
+        """Consistency-check registrations for the selected bests. Returns
+        (loops accepted without a check, phase-2 requests, their meta)."""
         loops: List[Loop] = []
         cons_requests: List[PairRequest] = []
         cons_meta = []
@@ -136,8 +163,12 @@ class LoopDetector:
                                           nb_kf.estimate(db.graph)),
                     max_iters=self.reg_cfg.reg_maximum_iterations))
             cons_meta.append((new_kf, best, res, checks))
+        return loops, cons_requests, cons_meta
 
-        cons_results = self.runner.run(cons_requests)
+    def phase2_accept(self, cons_meta, cons_results) -> List[Loop]:
+        """Composed-cycle test (loop ∘ odom ∘ loop^-1 ≈ I) on the phase-2
+        poses (loop_detector.cpp:243-303)."""
+        loops: List[Loop] = []
         k = 0
         for new_kf, best, res, checks in cons_meta:
             ok = False
@@ -150,10 +181,7 @@ class LoopDetector:
                     ok = True
             if ok:
                 loops.append(self._accept(new_kf, best, res))
-        if jobs:
-            self.loop_detection_times.append(
-                (time.perf_counter() - t0) * 1e6)
-        return loops, extra_results
+        return loops
 
     # ------------------------------------------------------------------
     def _guess(self, new_est, cand_est) -> np.ndarray:

@@ -184,3 +184,34 @@ def _run_batch_split(stat, dyn, carry: OdomCarry,
         return c2, out
 
     return jax.lax.scan(body, carry, (points, masks, stamps))
+
+
+def run_batch_multi(cfg: ScanMatchingOdometryConfig, carries: OdomCarry,
+                    points: jnp.ndarray, masks: jnp.ndarray,
+                    stamps: jnp.ndarray) -> Tuple[OdomCarry, OdomStepOut]:
+    """R robots' frame blocks in ONE device program.
+
+    `carries` is a robot-stacked OdomCarry pytree (leading axis R, stack
+    per-robot `init_carry` trees with `jax.tree.map(jnp.stack, ...)`);
+    points/masks/stamps are (R, F, ...) blocks. The per-robot odometry
+    chains are independent, so the robot axis vmaps over the `lax.scan` —
+    R co-hosted robots cost one dispatch + one fetch per block instead of
+    R (the reference runs one ScanMatchingOdometryComponent process per
+    robot; here robots batch like everything else on the chip).
+    """
+    stat, dyn = _split_odom(cfg)
+    return _run_batch_multi_split(stat, dyn, carries, points, masks, stamps)
+
+
+@functools.partial(jax.jit, static_argnames=("stat",))
+def _run_batch_multi_split(stat, dyn, carries: OdomCarry,
+                           points: jnp.ndarray, masks: jnp.ndarray,
+                           stamps: jnp.ndarray
+                           ) -> Tuple[OdomCarry, OdomStepOut]:
+    def scan_one(carry, pts, msk, stp):
+        def body(c, frame):
+            return _odometry_step_split(stat, dyn, c, *frame)
+
+        return jax.lax.scan(body, carry, (pts, msk, stp))
+
+    return jax.vmap(scan_one)(carries, points, masks, stamps)
