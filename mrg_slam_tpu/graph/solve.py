@@ -461,11 +461,18 @@ def _optimize_body(stat, dyn, g: PoseGraphData,
     solver_backend, is_lm = stat
     max_outer = dyn["max_outer"]
 
-    chi2_0 = chi2_only(g, axis_name=axis_name)
+    # ONE linearization per LM iteration: the loop carries the current
+    # point's LinearizedGraph, the trial point's chi2 falls out of ITS
+    # linearization (lin.chi2 — no separate chi2_only residual pass), and
+    # an accepted step hands the trial linearization to the next iteration.
+    # A rejected step recomputes nothing: the carried lin is still valid at
+    # the unchanged point (the reference's g2o relinearizes every iteration
+    # regardless, graph_slam.cpp:353).
+    lin0 = linearize(g, axis_name=axis_name)
+    chi2_0 = lin0.chi2
 
-    def solve_delta(g_, lam, g0norm):
+    def solve_delta(g_, lin, lam, g0norm):
         """-> (dx_n, dx_p, pred_reduction, gradient_inf_norm)."""
-        lin = linearize(g_, axis_name=axis_name)
         D_n, D_p = block_diagonal(g_, lin, axis_name=axis_name)
         d_n = jnp.diagonal(D_n, axis1=-2, axis2=-1)
         d_p = jnp.diagonal(D_p, axis1=-2, axis2=-1)
@@ -501,15 +508,16 @@ def _optimize_body(stat, dyn, g: PoseGraphData,
         return dx_n, dx_p, pred, gnorm
 
     def cond(s):
-        g_, lam, nu, chi2, g0norm, it, done = s
+        g_, lin, lam, nu, chi2, g0norm, it, done = s
         return (it < max_outer) & ~done
 
     def body(s):
-        g_, lam, nu, chi2, g0norm, it, done = s
-        dx_n, dx_p, pred, gnorm = solve_delta(g_, lam, g0norm)
+        g_, lin, lam, nu, chi2, g0norm, it, done = s
+        dx_n, dx_p, pred, gnorm = solve_delta(g_, lin, lam, g0norm)
         g0norm = jnp.where(g0norm < 0, gnorm, g0norm)
         g_new = _retract_all(g_, dx_n, dx_p)
-        chi2_new = chi2_only(g_new, axis_name=axis_name)
+        lin_new = linearize(g_new, axis_name=axis_name)
+        chi2_new = lin_new.chi2
         # `done` is sticky and freezes the state: in the scalar while_loop
         # the body never runs once done, but under vmap (the batched
         # cross-robot solve) the loop runs until EVERY graph finishes, so a
@@ -534,17 +542,20 @@ def _optimize_body(stat, dyn, g: PoseGraphData,
         g_out = g_._replace(
             poses=jnp.where(accept, g_new.poses, g_.poses),
             planes=jnp.where(accept, g_new.planes, g_.planes))
+        lin_out = jax.tree.map(lambda a, b: jnp.where(accept, a, b),
+                               lin_new, lin)
         rel_improve = (chi2 - chi2_new) / jnp.maximum(chi2, 1e-12)
         done_now = (done | (accept & (rel_improve < dyn["chi2_rel_tol"]))
                     | (lam_next > 1e8))
         chi2_out = jnp.where(accept, chi2_new, chi2)
         it_out = it + jnp.where(done, jnp.int32(0), jnp.int32(1))
-        return g_out, lam_next, nu_next, chi2_out, g0norm, it_out, done_now
+        return (g_out, lin_out, lam_next, nu_next, chi2_out, g0norm, it_out,
+                done_now)
 
     lam0 = jnp.where(is_lm, dyn["lam0"], jnp.float32(1e-9))
-    state = (g, lam0, jnp.float32(2.0), chi2_0, jnp.float32(-1.0),
+    state = (g, lin0, lam0, jnp.float32(2.0), chi2_0, jnp.float32(-1.0),
              jnp.int32(0), jnp.bool_(False))
-    g_fin, lam_fin, nu_fin, chi2_fin, _, iters, _ = jax.lax.while_loop(
+    g_fin, _, lam_fin, nu_fin, chi2_fin, _, iters, _ = jax.lax.while_loop(
         cond, body, state)
     return OptimizeResult(poses=g_fin.poses, planes=g_fin.planes,
                           chi2_initial=chi2_0, chi2_final=chi2_fin,

@@ -41,10 +41,12 @@ class SharedTick:
         self.slams = list(slams)
         assert self.slams, "need at least one robot"
         reg0 = self.slams[0].cfg.registration
+        cap0 = self.slams[0].cfg.capacity_keyframe_points
         for s in self.slams[1:]:
-            assert s.cfg.registration == reg0, (
-                "SharedTick robots must share a registration config "
-                f"({s.own_name} differs)")
+            assert (s.cfg.registration == reg0
+                    and s.cfg.capacity_keyframe_points == cap0), (
+                "SharedTick robots must share a registration config and "
+                f"keyframe cloud capacity ({s.own_name} differs)")
         # one runner serves every robot's pair program (same compiled
         # buckets; per-keyframe covariance caches live on the keyframes)
         self.runner = self.slams[0].loop_detector.runner

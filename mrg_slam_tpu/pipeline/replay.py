@@ -129,7 +129,8 @@ def replay(robot: Robot,
 
 def replay_multirobot(robots: Dict[str, Robot],
                       frame_sources: Dict[str, List[Tuple[float, np.ndarray]]],
-                      tick_every: int = 30) -> Dict[str, ReplayResult]:
+                      tick_every: int = 30,
+                      coordinate: bool = True) -> Dict[str, ReplayResult]:
     """In-process multi-robot replay with full graph exchange.
 
     Each robot advances one frame per round (lock-step), broadcasts odom
@@ -137,10 +138,31 @@ def replay_multirobot(robots: Dict[str, Robot],
     are served synchronously (the DDS service call becomes a function
     call — parallel/channel.py provides socket transport for real
     multi-host runs).
+
+    With `coordinate` (default), co-hosted robots share each tick's device
+    dispatches through models/coordinator.SharedTick; robots whose
+    registration configs differ fall back to serial per-robot ticks.
     """
     t0 = time.perf_counter()
     names = list(robots)
     steps = max(len(v) for v in frame_sources.values())
+
+    ticker = None
+    if coordinate and len(names) > 1:
+        s0 = robots[names[0]].cfg.slam
+        if all(robots[n].cfg.slam.registration == s0.registration
+               and (robots[n].cfg.slam.capacity_keyframe_points
+                    == s0.capacity_keyframe_points) for n in names[1:]):
+            from ..models.coordinator import SharedTick
+
+            ticker = SharedTick([robots[n].slam for n in names])
+
+    def tick_all(now: float) -> None:
+        if ticker is not None:
+            ticker.tick_all(now=now)
+        else:
+            for name in names:
+                robots[name].slam.optimization_tick(now=now)
 
     def request_fn_for(requester: str):
         def request(peer_name: str, req):
@@ -158,8 +180,8 @@ def replay_multirobot(robots: Dict[str, Robot],
                 if other != name and bc is not None:
                     robots[other].slam.on_odom_broadcast(bc)
         if (i + 1) % tick_every == 0:
+            tick_all(i * 0.1)
             for name in names:
-                robots[name].slam.optimization_tick(now=i * 0.1)
                 sp = robots[name].slam.slam_pose_broadcast(i * 0.1)
                 if sp is None:
                     continue
@@ -168,10 +190,10 @@ def replay_multirobot(robots: Dict[str, Robot],
                         robots[other].slam.on_slam_pose_broadcast(
                             sp, now=i * 0.1,
                             request_fn=request_fn_for(other))
+    tick_all(steps * 0.1)
     wall = time.perf_counter() - t0
     out: Dict[str, ReplayResult] = {}
     for name in names:
-        robots[name].slam.optimization_tick(now=steps * 0.1)
         r = robots[name]
         traj = np.stack(r.est_poses) if r.est_poses else np.zeros((0, 7))
         out[name] = ReplayResult(

@@ -30,6 +30,30 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(items):
+    """Periodically drop live compiled executables during a long
+    single-process run.
+
+    XLA:CPU has segfaulted inside backend_compile_and_load after ~75 tests'
+    worth of accumulated live executables in one process (reproducible at
+    the same suite position, passes in isolation). Re-loads come back from
+    the persistent cache, so clearing every module boundary costs little.
+    Prefer `pytest -n 4 --dist=loadfile` (separate worker processes) — this
+    hook is the safety net for plain single-process runs.
+    """
+    seen = set()
+    for item in items:
+        if item.fspath not in seen and seen:
+            item.add_marker(pytest.mark.usefixtures("_clear_jax_caches"))
+        seen.add(item.fspath)
+
+
+@pytest.fixture
+def _clear_jax_caches():
+    jax.clear_caches()
+    yield
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
