@@ -2,8 +2,11 @@
 
 Mirrors include/mrg_slam/graph_slam.hpp:34-174 (add_se3_node, add_*_edge,
 add_robust_kernel, optimize, compute_marginals, save/load) as an
-incremental builder over PREALLOCATED capacity-sized numpy staging buffers
+incremental builder over capacity-sized numpy staging buffers
 that snapshot into the device-side `PoseGraphData` pytree for each solve.
+Stores DOUBLE automatically on overflow (each doubling re-snapshots at the
+larger static shape, costing one fresh solve compile), so a run never dies
+on a preallocation guess — matching g2o's unbounded growth.
 Rows are written in place at add time, so `snapshot()` is a plain
 host->device copy of the standing buffers (the round-1 version re-packed
 every table from python lists per solve — ~200 ms per optimization tick).
@@ -31,21 +34,37 @@ _PLANE_ID = np.asarray([0, 0, 1, 0], np.float32)
 
 
 class _NpTable:
-    """Capacity-sized numpy staging table with in-place row append."""
+    """Capacity-sized numpy staging table with in-place row append.
+
+    Overflow doubles the table (amortized O(1) copies, log2 growth): the
+    next snapshot carries the larger static shape, so each doubling costs
+    one fresh solve-program compile — the reference's g2o graph grows
+    unbounded (graph_slam.hpp:34-174), and a long run must not die on a
+    preallocation guess."""
 
     def __init__(self, capacity: int,
                  fields: Dict[str, Tuple[tuple, np.dtype, float]]):
         self.n = 0
         self.capacity = capacity
+        self._fields = fields
         self.arrays: Dict[str, np.ndarray] = {}
         for name, (shape, dtype, fill) in fields.items():
             arr = np.empty((capacity,) + shape, dtype)
             arr[...] = fill
             self.arrays[name] = arr
 
+    def grow(self) -> None:
+        new_cap = max(1, self.capacity * 2)
+        for name, (shape, dtype, fill) in self._fields.items():
+            arr = np.empty((new_cap,) + shape, dtype)
+            arr[...] = fill
+            arr[: self.n] = self.arrays[name][: self.n]
+            self.arrays[name] = arr
+        self.capacity = new_cap
+
     def add(self, **values) -> int:
         if self.n >= self.capacity:
-            raise ValueError("graph capacity exceeded; raise capacities")
+            self.grow()
         i = self.n
         for name, v in values.items():
             self.arrays[name][i] = v
@@ -69,10 +88,6 @@ class GraphSLAM:
                  capacity_planes: int = 8, capacity_priors: int = 1024,
                  capacity_plane_edges: int = 2048):
         self.cfg = cfg or OptimizerConfig()
-        self.cap = dict(nodes=capacity_nodes, edges=capacity_edges,
-                        planes=capacity_planes, priors=capacity_priors,
-                        plane_edges=capacity_plane_edges,
-                        plane_priors=8, plane_plane=8)
         self._n_nodes = 0
         self._poses = np.tile(_POSE_ID, (capacity_nodes, 1))
         self._node_fixed = np.zeros(capacity_nodes, bool)
@@ -93,11 +108,11 @@ class GraphSLAM:
             "node_idx": ((), i32, 0), "plane_idx": ((), i32, 0),
             "meas": ((4,), f32, _PLANE_ID), "info": ((3, 3), f32, 0.0),
             "kernel": ((), i32, 0), "delta": ((), f32, 1.0)})
-        self._pl_priors = _NpTable(self.cap["plane_priors"], {
+        self._pl_priors = _NpTable(8, {
             "plane_idx": ((), i32, 0), "ptype": ((), i32, 0),
             "meas": ((4,), f32, 0.0), "info": ((4, 4), f32, 0.0),
             "kernel": ((), i32, 0), "delta": ((), f32, 1.0)})
-        self._pl_pl = _NpTable(self.cap["plane_plane"], {
+        self._pl_pl = _NpTable(8, {
             "from_idx": ((), i32, 0), "to_idx": ((), i32, 0),
             "ptype": ((), i32, 0),
             "meas": ((4,), f32, 0.0), "info": ((4, 4), f32, 0.0),
@@ -111,6 +126,16 @@ class GraphSLAM:
         self.last_marginals: Optional[np.ndarray] = None
 
     # -- views ----------------------------------------------------------
+    @property
+    def cap(self) -> Dict[str, int]:
+        """Live store capacities (they double on overflow — see _NpTable)."""
+        return dict(nodes=self._poses.shape[0], edges=self._se3.capacity,
+                    planes=self._planes.shape[0],
+                    priors=self._priors.capacity,
+                    plane_edges=self._pl_edges.capacity,
+                    plane_priors=self._pl_priors.capacity,
+                    plane_plane=self._pl_pl.capacity)
+
     @property
     def poses(self) -> np.ndarray:
         """(num_nodes, 7) current estimates (mutable view)."""
@@ -126,8 +151,13 @@ class GraphSLAM:
 
     # -- nodes ----------------------------------------------------------
     def add_se3_node(self, pose, fixed: bool = False) -> int:
-        if self._n_nodes >= self.cap["nodes"]:
-            raise ValueError("graph capacity exceeded; raise capacities")
+        if self._n_nodes >= self._poses.shape[0]:
+            new_cap = max(1, self._poses.shape[0] * 2)
+            poses = np.tile(_POSE_ID, (new_cap, 1))
+            poses[: self._n_nodes] = self._poses[: self._n_nodes]
+            fixed_arr = np.zeros(new_cap, bool)
+            fixed_arr[: self._n_nodes] = self._node_fixed[: self._n_nodes]
+            self._poses, self._node_fixed = poses, fixed_arr
         i = self._n_nodes
         self._poses[i] = np.asarray(pose, np.float32).reshape(7)
         self._node_fixed[i] = fixed
@@ -135,8 +165,13 @@ class GraphSLAM:
         return i
 
     def add_plane_node(self, coeffs, fixed: bool = False) -> int:
-        if self._n_planes >= self.cap["planes"]:
-            raise ValueError("plane capacity exceeded; raise capacities")
+        if self._n_planes >= self._planes.shape[0]:
+            new_cap = max(1, self._planes.shape[0] * 2)
+            planes = np.tile(_PLANE_ID, (new_cap, 1))
+            planes[: self._n_planes] = self._planes[: self._n_planes]
+            fixed_arr = np.zeros(new_cap, bool)
+            fixed_arr[: self._n_planes] = self._plane_fixed[: self._n_planes]
+            self._planes, self._plane_fixed = planes, fixed_arr
         c = np.asarray(coeffs, np.float32).reshape(4)
         c = c / max(np.linalg.norm(c[:3]), 1e-12)
         i = self._n_planes

@@ -211,3 +211,42 @@ def test_chordal_init_enters_lm_basin(rng):
     gs2.cfg = dataclasses.replace(gs2.cfg, chordal_init=True)
     chi2 = gs2.optimize()
     assert chi2 < 10.0
+
+
+def test_capacity_growth_matches_preallocated(rng):
+    """Stores double on overflow: a graph built with tiny initial
+    capacities must land exactly where a comfortably preallocated one
+    lands (same nodes/edges, same solve numerics), instead of dying on
+    the old capacity ValueError."""
+    rng2 = np.random.default_rng(7)
+    small = GraphSLAM(OptimizerConfig(solver_backend="dense",
+                                      g2o_solver_num_iterations=64),
+                      capacity_nodes=4, capacity_edges=4,
+                      capacity_planes=1, capacity_priors=1)
+    big = GraphSLAM(OptimizerConfig(solver_backend="dense",
+                                    g2o_solver_num_iterations=64),
+                    capacity_nodes=64, capacity_edges=128,
+                    capacity_planes=4, capacity_priors=8)
+    n = 24
+    for gs in (small, big):
+        r = np.random.default_rng(7)
+        ids = [gs.add_se3_node([0, 0, 0, 1, 0, 0, 0], fixed=True)]
+        for i in range(1, n):
+            t = r.normal(scale=0.05, size=3)
+            pose = np.asarray([i + t[0], t[1], t[2], 1, 0, 0, 0], np.float32)
+            pose[3:] /= np.linalg.norm(pose[3:])
+            ids.append(gs.add_se3_node(pose))
+            gs.add_se3_edge(ids[i - 1], ids[i],
+                            [1, 0, 0, 1, 0, 0, 0], info66(0.1, 0.05))
+        gs.add_se3_edge(ids[-1], ids[0],
+                        [-(n - 1), 0, 0, 1, 0, 0, 0], info66(0.01, 0.01))
+        gs.add_se3_prior_xyz_edge(ids[2], [2, 0, 0], np.eye(3) * 25.0)
+        p = gs.add_plane_node([0, 0, 1, 0], fixed=True)
+        gs.add_plane_node([0, 0, 1, 0.1])
+        gs.add_se3_plane_edge(ids[1], p, [0, 0, 1, 0], np.eye(3) * 10.0)
+        gs.optimize()
+    assert small.cap["nodes"] >= n and small.num_nodes == n
+    assert small.num_edges == big.num_edges == n
+    assert small._n_planes == 2
+    np.testing.assert_allclose(small.poses, big.poses, atol=1e-5)
+    assert abs(small.chi2_final - big.chi2_final) < 1e-3
