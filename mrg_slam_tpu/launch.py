@@ -54,6 +54,17 @@ def _apply_overrides(cfg_dict: dict, overrides: dict) -> dict:
 
 
 def main(argv=None):
+    # Honor an explicit JAX_PLATFORMS=cpu request: the axon sitecustomize
+    # force-registers the remote TPU backend and overrides jax_platforms
+    # via jax.config.update at import time, so the env var alone is not
+    # enough (same guard as __graft_entry__.py).
+    import os
+
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").split(","):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", help="YAML config (reference format ok)")
     ap.add_argument("--dataset", choices=["synthetic", "kitti", "rosbag"],
@@ -68,6 +79,10 @@ def main(argv=None):
     ap.add_argument("--laps", type=float, default=1.2,
                     help="synthetic circle laps over --frames")
     ap.add_argument("--tick-every", type=int, default=30)
+    ap.add_argument("--fused", action="store_true",
+                    help="device-batched replay (one odometry dispatch per "
+                         "tick block; falls back to per-frame replay when "
+                         "floor detection / deskew / IMU frontends are on)")
     ap.add_argument("--output", default="results")
     ap.add_argument("overrides", nargs="*", help="param:=value overrides")
     args = ap.parse_args(argv)
@@ -89,7 +104,7 @@ def main(argv=None):
         d = _apply_overrides({}, _parse_overrides(args.overrides))
         cfg = EngineConfig.from_yaml_dict(d)
 
-    from .pipeline.replay import Robot, replay
+    from .pipeline.replay import Robot, replay, replay_fused
 
     out_dir = Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -119,8 +134,9 @@ def main(argv=None):
         gt_xyz = traj[:, :3]
 
     robot = Robot(cfg)
-    result = replay(robot, frames, tick_every=args.tick_every, gt_xyz=gt_xyz,
-                    tum_path=str(out_dir / "trajectory_tum.txt"))
+    run = replay_fused if args.fused else replay
+    result = run(robot, frames, tick_every=args.tick_every, gt_xyz=gt_xyz,
+                 tum_path=str(out_dir / "trajectory_tum.txt"))
 
     from .io.pcd import save_pcd
     from .models.markers import export_ply

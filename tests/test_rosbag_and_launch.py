@@ -81,3 +81,79 @@ def test_launch_cli_reference_yaml(tmp_path):
         "reg_maximum_iterations:=16",
     ])
     assert rc == 0
+
+
+def test_replay_fused_matches_per_frame():
+    """The device-batched replay must track the per-frame replay on
+    identical inputs: same keyframe count, matching trajectories (both
+    paths run the same registration; the fused path batches dispatches,
+    it does not change the math)."""
+    import dataclasses as dc
+
+    from mrg_slam_tpu.config import (EngineConfig, LoopClosureConfig,
+                                     OptimizerConfig, PrefilterConfig,
+                                     RegistrationConfig, SlamConfig,
+                                     ScanMatchingOdometryConfig)
+    from mrg_slam_tpu.io.synthetic import SyntheticWorld, circle_trajectory
+    from mrg_slam_tpu.pipeline.replay import Robot, replay, replay_fused
+
+    reg = RegistrationConfig(reg_transformation_epsilon=1e-3,
+                             reg_maximum_iterations=24,
+                             reg_correspondence_randomness=10)
+    cfg = EngineConfig(
+        prefilter=PrefilterConfig(downsample_resolution=0.5,
+                                  capacity_raw_points=4096,
+                                  capacity_filtered_points=512,
+                                  distance_far_thresh=14.0,
+                                  outlier_removal_method="NONE"),
+        odometry=ScanMatchingOdometryConfig(keyframe_delta_translation=2.0,
+                                            registration=reg),
+        slam=SlamConfig(own_name="f", multi_robot_names=("f",),
+                        keyframe_delta_trans=2.0, capacity_keyframes=64,
+                        capacity_edges=256, capacity_keyframe_points=512,
+                        registration=reg,
+                        optimizer=OptimizerConfig(solver_backend="dense",
+                                                  g2o_solver_num_iterations=64),
+                        loop=dc.replace(LoopClosureConfig(),
+                                        capacity_candidates=4),
+                        robot_remove_points_radius=0.0))
+    world = SyntheticWorld.build(seed=13, extent=25.0, n_ground=15000,
+                                 max_points_per_scan=4096, noise=0.02)
+    traj = circle_trajectory(24, radius=10.0, laps=0.5)
+    frames = [(i * 0.1, world.scan(p, seed=i)) for i, p in enumerate(traj)]
+
+    r1 = Robot(cfg)
+    res1 = replay(r1, frames, tick_every=8, gt_xyz=traj[:, :3])
+    r2 = Robot(cfg)
+    res2 = replay_fused(r2, frames, tick_every=8, gt_xyz=traj[:, :3])
+
+    k1 = len(r1.slam.db.keyframes) + len(r1.slam.db.new_keyframes)
+    k2 = len(r2.slam.db.keyframes) + len(r2.slam.db.new_keyframes)
+    assert k2 == k1, (k1, k2)
+    assert res2.trajectory.shape == res1.trajectory.shape
+    np.testing.assert_allclose(res2.trajectory[:, :3],
+                               res1.trajectory[:, :3], atol=0.05)
+    assert abs(res2.ate - res1.ate) < 0.05
+
+
+def test_replay_fused_falls_back_with_floor():
+    """Floor detection forces the per-frame path (host feedback loop)."""
+    from mrg_slam_tpu.config import EngineConfig, FloorDetectionConfig
+    from mrg_slam_tpu.pipeline import replay as rp
+
+    cfg = EngineConfig(floor=FloorDetectionConfig(
+        enable_floor_detection=True))
+    robot = rp.Robot(cfg)
+    called = {}
+    orig = rp.replay
+
+    def spy(*a, **k):
+        called["yes"] = True
+        return orig(*a, **k)
+
+    rp.replay, token = spy, None
+    try:
+        rp.replay_fused(robot, [], tick_every=4)
+    finally:
+        rp.replay = orig
+    assert called.get("yes")
