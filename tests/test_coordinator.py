@@ -226,3 +226,31 @@ def test_shared_tick_single_robot(two_robot_inputs):
             out = st.tick_all(now=i * 0.1)
             assert set(out) == {"atlas"}
     assert len(slam.db.keyframes) + len(slam.db.new_keyframes) >= 8
+
+
+def test_shared_tick_three_robots(two_robot_inputs):
+    """R>2: three co-hosted robots tick through one coordinator; each
+    closes its own loops and the batched solve handles the 3-graph stack."""
+    scans_a, scans_b, traj_a, traj_b = two_robot_inputs
+    names = ("r0", "r1", "r2")
+    slams = [MrgSlam(_slam_config(n, names)) for n in names]
+    st = SharedTick(slams)
+    feeds = [(scans_a, traj_a), (scans_b, traj_b),
+             (scans_a[:50], traj_a[:50])]
+    n = max(len(s) for s, _ in feeds)
+    for i in range(n):
+        for slam, (scans, traj) in zip(slams, feeds):
+            if i < len(scans):
+                slam.process_scan(i * 0.1, traj[i].astype(np.float32),
+                                  scans[i])
+        if (i + 1) % 10 == 0:
+            out = st.tick_all(now=i * 0.1)
+            assert set(out) == set(names)
+    st.tick_all(now=n * 0.1)
+    for slam, (scans, _) in zip(slams, feeds):
+        k = len(slam.db.keyframes) + len(slam.db.new_keyframes)
+        assert k >= len(scans) // 10, (slam.own_name, k)
+        assert slam.db.graph.chi2_final <= slam.db.graph.chi2_initial + 1e-6
+    # the two full-lap robots close loops
+    for slam in slams[:2]:
+        assert sum(1 for e in slam.db.edges if e.type == "loop") >= 1
