@@ -33,6 +33,15 @@ _POSE_ID = np.asarray([0, 0, 0, 1, 0, 0, 0], np.float32)
 _PLANE_ID = np.asarray([0, 0, 1, 0], np.float32)
 
 
+def _grow_rows(arr: np.ndarray, n: int, fill, new_cap: int) -> np.ndarray:
+    """Reallocate `arr` with `new_cap` rows (fill-padded), keeping the
+    first `n` live rows — the one growth primitive behind every store."""
+    out = np.empty((new_cap,) + arr.shape[1:], arr.dtype)
+    out[...] = fill
+    out[:n] = arr[:n]
+    return out
+
+
 class _NpTable:
     """Capacity-sized numpy staging table with in-place row append.
 
@@ -53,13 +62,13 @@ class _NpTable:
             arr[...] = fill
             self.arrays[name] = arr
 
-    def grow(self) -> None:
-        new_cap = max(1, self.capacity * 2)
+    def grow(self, new_cap: Optional[int] = None) -> None:
+        new_cap = new_cap or max(1, self.capacity * 2)
+        if new_cap <= self.capacity:
+            return
         for name, (shape, dtype, fill) in self._fields.items():
-            arr = np.empty((new_cap,) + shape, dtype)
-            arr[...] = fill
-            arr[: self.n] = self.arrays[name][: self.n]
-            self.arrays[name] = arr
+            self.arrays[name] = _grow_rows(self.arrays[name], self.n, fill,
+                                           new_cap)
         self.capacity = new_cap
 
     def add(self, **values) -> int:
@@ -150,14 +159,36 @@ class GraphSLAM:
         return self._node_fixed[: self._n_nodes]
 
     # -- nodes ----------------------------------------------------------
+    def _grow_nodes(self, new_cap: int) -> None:
+        if new_cap > self._poses.shape[0]:
+            self._poses = _grow_rows(self._poses, self._n_nodes, _POSE_ID,
+                                     new_cap)
+            self._node_fixed = _grow_rows(self._node_fixed, self._n_nodes,
+                                          False, new_cap)
+
+    def _grow_planes(self, new_cap: int) -> None:
+        if new_cap > self._planes.shape[0]:
+            self._planes = _grow_rows(self._planes, self._n_planes,
+                                      _PLANE_ID, new_cap)
+            self._plane_fixed = _grow_rows(self._plane_fixed, self._n_planes,
+                                           False, new_cap)
+
+    def reserve(self, **caps: int) -> None:
+        """Grow stores to at least the given capacities (keys as in
+        `self.cap`). Used by `optimize_many` to keep co-hosted graphs
+        batchable after one of them auto-grows."""
+        self._grow_nodes(caps.get("nodes", 0))
+        self._grow_planes(caps.get("planes", 0))
+        for key, table in (("edges", self._se3), ("priors", self._priors),
+                           ("plane_edges", self._pl_edges),
+                           ("plane_priors", self._pl_priors),
+                           ("plane_plane", self._pl_pl)):
+            if caps.get(key, 0) > table.capacity:
+                table.grow(caps[key])
+
     def add_se3_node(self, pose, fixed: bool = False) -> int:
         if self._n_nodes >= self._poses.shape[0]:
-            new_cap = max(1, self._poses.shape[0] * 2)
-            poses = np.tile(_POSE_ID, (new_cap, 1))
-            poses[: self._n_nodes] = self._poses[: self._n_nodes]
-            fixed_arr = np.zeros(new_cap, bool)
-            fixed_arr[: self._n_nodes] = self._node_fixed[: self._n_nodes]
-            self._poses, self._node_fixed = poses, fixed_arr
+            self._grow_nodes(max(1, self._poses.shape[0] * 2))
         i = self._n_nodes
         self._poses[i] = np.asarray(pose, np.float32).reshape(7)
         self._node_fixed[i] = fixed
@@ -166,12 +197,7 @@ class GraphSLAM:
 
     def add_plane_node(self, coeffs, fixed: bool = False) -> int:
         if self._n_planes >= self._planes.shape[0]:
-            new_cap = max(1, self._planes.shape[0] * 2)
-            planes = np.tile(_PLANE_ID, (new_cap, 1))
-            planes[: self._n_planes] = self._planes[: self._n_planes]
-            fixed_arr = np.zeros(new_cap, bool)
-            fixed_arr[: self._n_planes] = self._plane_fixed[: self._n_planes]
-            self._planes, self._plane_fixed = planes, fixed_arr
+            self._grow_planes(max(1, self._planes.shape[0] * 2))
         c = np.asarray(coeffs, np.float32).reshape(4)
         c = c / max(np.linalg.norm(c[:3]), 1e-12)
         i = self._n_planes
@@ -415,8 +441,9 @@ def optimize_many(graphs) -> None:
     The multi-robot analog of `GraphSLAM.optimize`: when several robots'
     back-ends share a chip (models/coordinator.py), their per-tick solves
     are independent same-shaped programs — batching them turns R
-    (dispatch + ~26 ms tunnel fetch) chains into one. Falls back to
-    sequential `optimize()` when capacities or solver configs differ.
+    (dispatch + ~26 ms tunnel fetch) chains into one. Mismatched store
+    capacities are leveled up via `reserve` (auto-growth desyncs them);
+    only differing solver configs fall back to sequential `optimize()`.
     Writes optimized estimates, chi2 stats, and per-tick marginals back
     into each graph's staging buffers exactly like `optimize` does.
     """
@@ -425,24 +452,25 @@ def optimize_many(graphs) -> None:
     graphs = list(graphs)
     if not graphs:
         return
-    cfg0, cap0 = graphs[0].cfg, graphs[0].cap
-    if (len(graphs) == 1
-            or any(g.cfg != cfg0 or g.cap != cap0 for g in graphs[1:])):
+    cfg0 = graphs[0].cfg
+    if len(graphs) == 1 or any(g.cfg != cfg0 for g in graphs[1:]):
         for g in graphs:
             g.optimize()
         return
+    # auto-growth (add_se3_node et al.) would otherwise desync co-hosted
+    # capacities the first time ONE robot doubles, silently degrading every
+    # later tick to R separate dispatch+fetch chains — level everyone up to
+    # the largest store instead, so the batch survives growth
+    caps = {k: max(g.cap[k] for g in graphs) for k in graphs[0].cap}
+    for g in graphs:
+        g.reserve(**caps)
 
     snaps = [g.snapshot() for g in graphs]
     if cfg0.chordal_init:
         from .chordal import chordal_init
         snaps = [s._replace(poses=chordal_init(s)) for s in snaps]
     gs = jax.tree.map(lambda *xs: jnp.stack(xs), *snaps)
-    stat = (cfg0.solver_backend, cfg0.g2o_solver_type.startswith("lm"))
-    dyn = dict(max_outer=jnp.int32(cfg0.g2o_solver_num_iterations),
-               chi2_rel_tol=jnp.float32(cfg0.chi2_rel_tol),
-               lam0=jnp.float32(cfg0.lm_initial_lambda),
-               cg_max=jnp.int32(cfg0.cg_max_iterations),
-               cg_tol=jnp.float32(cfg0.cg_tol))
+    stat, dyn = solve.split_optimizer(cfg0)
     res = solve._optimize_many_split(stat, dyn, gs)
 
     mode = cfg0.per_tick_marginals

@@ -431,13 +431,21 @@ def optimize(g: PoseGraphData, cfg: OptimizerConfig) -> OptimizeResult:
     caps and tolerances ride as traced scalars so tuning them reuses the
     compiled program (see ops.registration.split_reg for the rationale).
     """
+    stat, dyn = split_optimizer(cfg)
+    return _optimize_split(stat, dyn, g)
+
+
+def split_optimizer(cfg: OptimizerConfig):
+    """Static program identity vs traced numeric knobs for the LM body —
+    the single source of truth for every caller of `_optimize_body`
+    (optimize, builder.optimize_many, parallel.dist_solver)."""
     stat = (cfg.solver_backend, cfg.g2o_solver_type.startswith("lm"))
     dyn = dict(max_outer=jnp.int32(cfg.g2o_solver_num_iterations),
                chi2_rel_tol=jnp.float32(cfg.chi2_rel_tol),
                lam0=jnp.float32(cfg.lm_initial_lambda),
                cg_max=jnp.int32(cfg.cg_max_iterations),
                cg_tol=jnp.float32(cfg.cg_tol))
-    return _optimize_split(stat, dyn, g)
+    return stat, dyn
 
 
 @functools.partial(jax.jit, static_argnames=("stat",))

@@ -25,7 +25,7 @@ wall times (the dispatches serve all robots at once).
 from __future__ import annotations
 
 import time
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 from ..graph.builder import optimize_many
 from .backend import MrgSlam, TickStats

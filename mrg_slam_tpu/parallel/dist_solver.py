@@ -88,14 +88,8 @@ def optimize_distributed(g: PoseGraphData, cfg: OptimizerConfig,
     jit-static; iteration caps and tolerances ride as traced scalars so
     retuning never recompiles the SPMD program.
     """
-    dyn = dict(max_outer=jnp.int32(cfg.g2o_solver_num_iterations),
-               chi2_rel_tol=jnp.float32(cfg.chi2_rel_tol),
-               lam0=jnp.float32(cfg.lm_initial_lambda),
-               cg_max=jnp.int32(cfg.cg_max_iterations),
-               cg_tol=jnp.float32(cfg.cg_tol))
-    is_lm = cfg.g2o_solver_type.startswith("lm")
-    return _optimize_distributed_split(is_lm, cfg.solver_backend, mesh, dyn,
-                                       g)
+    (backend, is_lm), dyn = solve.split_optimizer(cfg)
+    return _optimize_distributed_split(is_lm, backend, mesh, dyn, g)
 
 
 @functools.partial(jax.jit, static_argnames=("is_lm", "backend", "mesh"))

