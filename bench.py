@@ -4,7 +4,7 @@ Runs the complete production pipeline — batched prefiltering (voxel
 downsample + radius outlier removal), fully device-resident fused odometry
 (models/odometry_fused.py), and the batched back-end tick (keyframe
 admission, loop-closure candidate matching + consistency check + edge
-fitness in two `align_pairs` dispatches, then the jitted LM pose-graph
+fitness in one `align_pairs` dispatch, then the jitted LM pose-graph
 solve) — over synthetic LiDAR scans at production sizes, with loop
 closures actually firing, and reports sustained end-to-end frames/s.
 

@@ -179,11 +179,10 @@ class MrgSlam:
     def optimization_tick(self, now: float = 0.0) -> Optional[TickStats]:
         """optimization_timer_callback (:802): flush -> loops -> optimize.
 
-        The device work of a tick is batched into at most three dispatches
-        (vs. the reference's serial per-edge/per-candidate operations):
-        phase-1 pair program (odometry-edge fitness + every loop-candidate
-        registration), phase-2 pair program (consistency checks of the
-        selected candidates), and the jitted LM solve.
+        The device work of a tick is batched into TWO dispatches (vs. the
+        reference's serial per-edge/per-candidate operations): one pair
+        program (odometry-edge fitness + every loop-candidate registration
+        + speculative consistency checks), and the jitted LM solve.
         """
         pre = self._tick_begin(now)
         if pre is None:

@@ -6,14 +6,15 @@ own CPU threads and optimization timer (apps/mrg_slam_component.cpp:802);
 R robots cost R of everything. On a TPU behind a ~26 ms round-trip tunnel
 the natural multi-robot unit is the *batch axis*: PairRequest rows are
 robot-agnostic and the per-robot pose graphs are same-shaped programs, so
-one coordinator can run R robots' optimization ticks in the SAME three
+one coordinator can run R robots' optimization ticks in the SAME two
 dispatches a single robot pays:
 
-  phase 1: every robot's loop-candidate registrations + deferred-edge
-           fitness passes concatenated into one `align_pairs` batch;
-  phase 2: every robot's consistency-check registrations, one batch;
-  solve:   all R pose graphs stacked and LM-solved by one vmapped program
-           (graph/builder.py `optimize_many`), one packed fetch.
+  pairs: every robot's loop-candidate registrations, speculative
+         consistency checks, and deferred-edge fitness passes
+         concatenated into one `align_pairs` batch
+         (loop_detector.build_requests / resolve);
+  solve: all R pose graphs stacked and LM-solved by one vmapped program
+         (graph/builder.py `optimize_many`), one packed fetch.
 
 The per-robot host logic (queue flushes, candidate filtering, selection,
 loop insertion, odom2map bookkeeping) is exactly `MrgSlam.optimization_tick`
@@ -73,37 +74,27 @@ class SharedTick:
         if not begun:
             return out
 
-        # ---- phase 1: one shared candidate + edge-fitness batch --------
+        # ---- ONE shared batch: every robot's candidate registrations,
+        # speculative consistency checks, and edge-fitness rows ----------
         t0 = time.perf_counter()
-        all_reqs, meta1 = [], []
+        all_reqs, meta = [], []
         for slam, stats, deferred, edge_reqs in begun:
             slam.status.in_loop_closure = True
-            reqs, jobs = slam.loop_detector.phase1_requests(slam.db,
-                                                            edge_reqs)
-            meta1.append((slam, stats, deferred, edge_reqs, jobs,
-                          len(all_reqs), len(reqs)))
+            reqs, jobs, slices = slam.loop_detector.build_requests(
+                slam.db, edge_reqs)
+            meta.append((slam, stats, deferred, edge_reqs, jobs, slices,
+                         len(all_reqs), len(reqs)))
             all_reqs.extend(reqs)
         results = self.runner.run(all_reqs)
 
-        # ---- selection + phase 2: one shared consistency batch ---------
-        all_cons, meta2 = [], []
-        for slam, stats, deferred, edge_reqs, jobs, off, n in meta1:
-            rs = results[off: off + n]
-            edge_results = rs[: len(edge_reqs)]
-            best = slam.loop_detector.phase1_select(jobs, rs, len(edge_reqs))
-            direct, cons_reqs, cons_meta = (
-                slam.loop_detector.phase2_requests(slam.db, best))
-            meta2.append((slam, stats, deferred, edge_results, direct,
-                          cons_meta, len(all_cons), len(cons_reqs), jobs))
-            all_cons.extend(cons_reqs)
-        cons_results = self.runner.run(all_cons)
-
         loop_wall = (time.perf_counter() - t0) * 1e6
         graphs = []
-        for (slam, stats, deferred, edge_results, direct, cons_meta, off,
-             n, jobs) in meta2:
-            loops = direct + slam.loop_detector.phase2_accept(
-                cons_meta, cons_results[off: off + n])
+        for (slam, stats, deferred, edge_reqs, jobs, slices, off,
+             n) in meta:
+            rs = results[off: off + n]
+            edge_results = rs[: len(edge_reqs)]
+            loops = slam.loop_detector.resolve(jobs, slices, rs,
+                                               len(edge_reqs))
             if jobs:
                 slam.loop_detector.loop_detection_times.append(loop_wall)
             stats.loop_closure_us = loop_wall
@@ -116,7 +107,7 @@ class SharedTick:
         t0 = time.perf_counter()
         optimize_many(graphs)
         opt_wall = (time.perf_counter() - t0) * 1e6
-        for slam, stats, *_ in meta2:
+        for slam, stats, *_ in meta:
             stats.optimization_us = opt_wall
             slam.status.in_optimization = False
             slam._tick_post(stats)

@@ -3,17 +3,16 @@
 TPU re-design of src/mrg_slam/loop_detector.cpp. The reference registers
 each candidate serially against the new keyframe (:97-188) and then runs
 1-2 more registrations for the odom-chain consistency check (:190-303).
-Here the whole tick is two batched dispatches through the shared
-PairRunner program (models/pair_runner.py):
+Here the tick's ENTIRE pair workload is ONE batched dispatch through the
+shared PairRunner program (models/pair_runner.py): every candidate of
+every pending new keyframe (registration + both fitness flavors), the
+consistency-check registrations of EVERY candidate (speculative — their
+init poses depend only on graph estimates, so they need not wait for
+selection), and the tick's deferred-edge fitness rows.
 
-  phase 1: every candidate of every pending new keyframe — registration +
-           fitness (both flavors) in one `align_pairs` batch;
-  phase 2: the consistency-check registrations of the per-keyframe best
-           matches, again one batch.
-
-Candidate filtering (:40-95) stays on host numpy (cheap pose scalars); the
-composed-cycle test (loop ∘ odom ∘ loop^-1 ≈ I) is host math on the phase-2
-poses.
+Candidate filtering (:40-95) stays on host numpy (cheap pose scalars);
+selection and the composed-cycle test (loop ∘ odom ∘ loop^-1 ≈ I) are host
+math over the fetched batch.
 """
 
 from __future__ import annotations
@@ -71,37 +70,50 @@ class LoopDetector:
         Returns (loops, extra_results): each Loop carries the ungated
         fitness of its aligned pair so `insert_loops` can weight the edge
         without another device pass. `extra_requests` (e.g. the tick's
-        odometry-edge fitness passes) ride in the same phase-1 dispatch;
-        their results come back in order.
+        odometry-edge fitness passes) ride in the same dispatch; their
+        results come back in order.
 
-        The phase methods below are also driven directly by the
-        cross-robot coordinator (models/coordinator.py), which concatenates
-        every hosted robot's requests into ONE shared dispatch per phase.
+        The whole tick's pair work — candidate registrations, speculative
+        consistency checks, edge fitness — is ONE device dispatch (see
+        `build_requests`). The cross-robot coordinator
+        (models/coordinator.py) drives build_requests/resolve directly,
+        concatenating every hosted robot's rows into one shared batch.
         """
         t0 = time.perf_counter()
-        requests, jobs = self.phase1_requests(db, extra_requests)
+        requests, jobs, check_slices = self.build_requests(db,
+                                                           extra_requests)
         if not requests:
             return [], []
 
         results = self.runner.run(requests)
         extra_results = results[: len(extra_requests)]
-        best_per_job = self.phase1_select(jobs, results, len(extra_requests))
-        loops, cons_requests, cons_meta = self.phase2_requests(db,
-                                                               best_per_job)
-        cons_results = self.runner.run(cons_requests)
-        loops += self.phase2_accept(cons_meta, cons_results)
+        loops = self.resolve(jobs, check_slices, results,
+                             len(extra_requests))
         if jobs:
             self.loop_detection_times.append(
                 (time.perf_counter() - t0) * 1e6)
         return loops, extra_results
 
-    # -- phase methods (shared with models/coordinator.py) ---------------
-    def phase1_requests(self, db: GraphDatabase,
-                        extra_requests: Tuple[PairRequest, ...] = ()
-                        ) -> Tuple[List[PairRequest],
-                                   List[Tuple[KeyFrame, List[KeyFrame]]]]:
-        """Host-side candidate filtering -> the phase-1 registration batch
-        (prefixed by `extra_requests`, which ride the same dispatch)."""
+    # -- batch construction / resolution (shared with the coordinator) ---
+    def build_requests(self, db: GraphDatabase,
+                       extra_requests: Tuple[PairRequest, ...] = ()):
+        """EVERY pair row of the tick in ONE batch: [extras][candidate
+        registrations][speculative consistency checks].
+
+        The consistency-check registrations (loop_detector.cpp:190-241)
+        depend on phase-1 results only through WHICH candidate won
+        selection — their init poses come from graph estimates alone — so
+        the checks for every candidate ride the same dispatch and
+        `resolve` just reads the winner's precomputed rows. Versus the
+        round-2 two-phase design this trades ~2 extra registration rows
+        per losing candidate (vmapped, parallel on the chip) for one
+        fewer dispatch + ~26 ms tunnel round trip per tick.
+
+        Returns (requests, jobs, check_slices) where jobs[j] =
+        (new_kf, candidates) maps to result rows in order after the
+        extras, and check_slices[(j, c)] = (row_offset, checks) locates
+        candidate c's neighbor-check rows.
+        """
         jobs: List[Tuple[KeyFrame, List[KeyFrame]]] = []
         requests: List[PairRequest] = list(extra_requests)
         for new_kf in db.new_keyframes:
@@ -117,70 +129,66 @@ class LoopDetector:
                     max_iters=self.reg_cfg.reg_maximum_iterations,
                     fitness_max_range=self.cfg.fitness_score_max_range))
             jobs.append((new_kf, candidates))
-        return requests, jobs
 
-    def phase1_select(self, jobs, results, n_extra: int):
-        """Best gated fitness per new keyframe (loop_detector.cpp:150-160:
-        skip non-converged, keep best, threshold on fitness_score_thresh)."""
-        best_per_job = []
+        check_slices = {}
+        if self.cfg.enable_loop_closure_consistency_check:
+            for j, (new_kf, candidates) in enumerate(jobs):
+                new_est = np.asarray(new_kf.estimate(db.graph))
+                for c, cand in enumerate(candidates):
+                    if cand.first_keyframe or cand.static_keyframe:
+                        continue  # direct accept if selected — no checks
+                    checks = self._neighbor_checks(cand, db)
+                    check_slices[(j, c)] = (len(requests), checks)
+                    for nb_kf, odom_rel, kind in checks:
+                        requests.append(PairRequest(
+                            target=new_kf, source=nb_kf,
+                            init_pose=self._guess(
+                                new_est, nb_kf.estimate(db.graph)),
+                            max_iters=self.reg_cfg.reg_maximum_iterations))
+        return requests, jobs, check_slices
+
+    def resolve(self, jobs, check_slices, results, n_extra: int
+                ) -> List[Loop]:
+        """Selection + consistency acceptance over the single batch.
+
+        Selection: best gated fitness per new keyframe, skipping
+        non-converged candidates, thresholded on fitness_score_thresh
+        (loop_detector.cpp:150-160). Acceptance: composed-cycle test
+        (loop ∘ odom ∘ loop^-1 ≈ I) on the winner's precomputed
+        neighbor-check rows (loop_detector.cpp:243-303).
+        """
+        loops: List[Loop] = []
         k = n_extra
-        for new_kf, candidates in jobs:
-            best = None
+        for j, (new_kf, candidates) in enumerate(jobs):
+            best, best_c = None, -1
             best_score = float("inf")
             best_res = None
-            for cand in candidates:
+            for c, cand in enumerate(candidates):
                 res = results[k]
                 k += 1
                 if not res.converged or not np.isfinite(res.fitness_range):
                     continue
                 if res.fitness_range < best_score:
-                    best, best_score, best_res = cand, res.fitness_range, res
+                    best, best_score, best_res, best_c = (
+                        cand, res.fitness_range, res, c)
             if best is None or best_score > self.cfg.fitness_score_thresh:
                 continue
-            best_per_job.append((new_kf, best, best_res))
-        return best_per_job
-
-    def phase2_requests(self, db: GraphDatabase, best_per_job
-                        ) -> Tuple[List[Loop], List[PairRequest], List]:
-        """Consistency-check registrations for the selected bests. Returns
-        (loops accepted without a check, phase-2 requests, their meta)."""
-        loops: List[Loop] = []
-        cons_requests: List[PairRequest] = []
-        cons_meta = []
-        for new_kf, best, res in best_per_job:
             if (not self.cfg.enable_loop_closure_consistency_check
                     or best.first_keyframe or best.static_keyframe):
-                loops.append(self._accept(new_kf, best, res))
+                loops.append(self._accept(new_kf, best, best_res))
                 continue
-            checks = self._neighbor_checks(best, db)
+            off, checks = check_slices[(j, best_c)]
             if not checks:
                 continue  # no odom neighbors to verify against -> reject
-            new_est = np.asarray(new_kf.estimate(db.graph))
-            for nb_kf, odom_rel, kind in checks:
-                cons_requests.append(PairRequest(
-                    target=new_kf, source=nb_kf,
-                    init_pose=self._guess(new_est,
-                                          nb_kf.estimate(db.graph)),
-                    max_iters=self.reg_cfg.reg_maximum_iterations))
-            cons_meta.append((new_kf, best, res, checks))
-        return loops, cons_requests, cons_meta
-
-    def phase2_accept(self, cons_meta, cons_results) -> List[Loop]:
-        """Composed-cycle test (loop ∘ odom ∘ loop^-1 ≈ I) on the phase-2
-        poses (loop_detector.cpp:243-303)."""
-        loops: List[Loop] = []
-        k = 0
-        for new_kf, best, res, checks in cons_meta:
             ok = False
-            for nb_kf, odom_rel, kind in checks:
-                rel_new_nb = cons_results[k].pose
-                k += 1
+            for i, (nb_kf, odom_rel, kind) in enumerate(checks):
                 if ok:
                     continue
-                if self._cycle_closes(res.pose, rel_new_nb, odom_rel, kind):
+                if self._cycle_closes(best_res.pose, results[off + i].pose,
+                                      odom_rel, kind):
                     ok = True
             if ok:
-                loops.append(self._accept(new_kf, best, res))
+                loops.append(self._accept(new_kf, best, best_res))
         return loops
 
     # ------------------------------------------------------------------

@@ -34,12 +34,11 @@ def pytest_collection_modifyitems(items):
     """Periodically drop live compiled executables during a long
     single-process run.
 
-    XLA:CPU has segfaulted inside backend_compile_and_load after ~75 tests'
-    worth of accumulated live executables in one process (reproducible at
-    the same suite position, passes in isolation). Re-loads come back from
-    the persistent cache, so clearing every module boundary costs little.
-    Prefer `pytest -n 4 --dist=loadfile` (separate worker processes) — this
-    hook is the safety net for plain single-process runs.
+    XLA:CPU has segfaulted inside backend_compile_and_load after ~75-120
+    tests' worth of compiles in one process (reproducible late-suite,
+    passes in isolation). This clearing delays but does NOT prevent it —
+    pytest.ini therefore forces `-n 4 --dist=loadfile` worker processes;
+    the hook remains as defense-in-depth for `-p no:xdist` runs.
     """
     seen = set()
     for item in items:
