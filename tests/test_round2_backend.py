@@ -154,6 +154,44 @@ def test_good_candidate_accepted():
     assert n_loops >= 1
 
 
+def test_single_dispatch_tick_closes_loop_with_consistency_check():
+    """The tick's ENTIRE pair workload — candidate registrations,
+    speculative consistency checks, deferred-edge fitness — is ONE
+    PairRunner dispatch, and the speculative rows still accept a genuine
+    revisit (loop_detector.cpp:190-303 runs its checks serially after
+    selection; here they ride the same batch)."""
+    cfg = _loop_cfg()
+    cfg = dataclasses.replace(cfg, loop=dataclasses.replace(
+        cfg.loop, enable_loop_closure_consistency_check=True))
+    slam = MrgSlam(cfg)
+    world_cloud = _structured_cloud(np.random.default_rng(7))
+
+    def view(pose7):
+        inv = se3np.pose_inverse(np.asarray(pose7, np.float32))
+        pts = np.asarray(world_cloud.points)[np.asarray(world_cloud.mask)]
+        local = se3np.quat_rotate(inv[3:7], pts) + inv[:3]
+        return PointCloud.from_array(local.astype(np.float32), capacity=512)
+
+    poses = [[i * 1.0, 0, 0, 1, 0, 0, 0] for i in range(6)]
+    poses.append([0.2, 0.1, 0, 1, 0, 0, 0])
+    clouds = [view(np.asarray(p, np.float32)) for p in poses]
+
+    batches = []
+    orig_run = slam.loop_detector.runner.run
+    slam.loop_detector.runner.run = (
+        lambda reqs: (batches.append(len(reqs)), orig_run(reqs))[1])
+    _feed_chain(slam, lambda i: clouds[i], poses)
+    # one dispatch per tick — no separate phase-2 consistency dispatch
+    assert len(batches) == 2
+    # the revisit tick's batch carries the speculative check rows on top of
+    # its 1 deferred odometry edge: >= 1 candidate + its prev/next checks
+    assert batches[-1] >= 1 + 1 + 1
+    # ... and the winner (never a first keyframe, find_candidates skips
+    # them) was accepted through those precomputed rows
+    n_loops = sum(1 for e in slam.db.edges if e.type == "loop")
+    assert n_loops >= 1
+
+
 # ---------------------------------------------------------------------------
 # others_odom2map: other robots' odom frames differ from ours
 # ---------------------------------------------------------------------------
