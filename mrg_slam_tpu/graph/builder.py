@@ -95,7 +95,9 @@ class GraphSLAM:
     def __init__(self, cfg: Optional[OptimizerConfig] = None,
                  capacity_nodes: int = 2048, capacity_edges: int = 8192,
                  capacity_planes: int = 8, capacity_priors: int = 1024,
-                 capacity_plane_edges: int = 2048):
+                 capacity_plane_edges: int = 2048,
+                 capacity_plane_priors: int = 8,
+                 capacity_plane_plane: int = 8):
         self.cfg = cfg or OptimizerConfig()
         self._n_nodes = 0
         self._poses = np.tile(_POSE_ID, (capacity_nodes, 1))
@@ -117,11 +119,11 @@ class GraphSLAM:
             "node_idx": ((), i32, 0), "plane_idx": ((), i32, 0),
             "meas": ((4,), f32, _PLANE_ID), "info": ((3, 3), f32, 0.0),
             "kernel": ((), i32, 0), "delta": ((), f32, 1.0)})
-        self._pl_priors = _NpTable(8, {
+        self._pl_priors = _NpTable(capacity_plane_priors, {
             "plane_idx": ((), i32, 0), "ptype": ((), i32, 0),
             "meas": ((4,), f32, 0.0), "info": ((4, 4), f32, 0.0),
             "kernel": ((), i32, 0), "delta": ((), f32, 1.0)})
-        self._pl_pl = _NpTable(8, {
+        self._pl_pl = _NpTable(capacity_plane_plane, {
             "from_idx": ((), i32, 0), "to_idx": ((), i32, 0),
             "ptype": ((), i32, 0),
             "meas": ((4,), f32, 0.0), "info": ((4, 4), f32, 0.0),

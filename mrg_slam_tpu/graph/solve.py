@@ -81,27 +81,67 @@ def _psum_if(x, axis_name):
     return jax.lax.psum(x, axis_name) if axis_name else x
 
 
+def _has(table) -> bool:
+    """Static (shape-level) emptiness test for an edge-family table.
+
+    Solve cost on small graphs is op-count x per-op overhead, not FLOPs
+    (every LM iteration re-runs the whole edge sweep inside a while_loop),
+    so a family whose table has ZERO capacity must contribute zero HLO:
+    each consumer below skips the family's residuals/Jacobians/reductions
+    entirely and substitutes zero-size placeholders. GraphDatabase sizes
+    the prior/plane tables to 0 when the corresponding processors are
+    disabled (the common pose-only deployment), which cuts the per-
+    iteration edge work of a pose-only solve to just the SE3 sweep."""
+    return table.mask.shape[0] > 0
+
+
 def linearize(g: PoseGraphData, axis_name=None) -> LinearizedGraph:
     """When `axis_name` is set, the edge tables of `g` are shard_map shards
     over that mesh axis and the scalar chi2 is psum-reduced (the per-edge
-    terms stay local to their shard)."""
-    r_se3, Ji, Jj = E.se3_edge_terms(g.poses, g.se3)
-    W_se3, c1 = _weighted(g.se3.info, r_se3, g.se3.kernel, g.se3.delta,
-                          g.se3.mask)
-    r_pr, Jp = E.prior_edge_terms(g.poses, g.priors)
-    W_pr, c2 = _weighted(g.priors.info, r_pr, g.priors.kernel, g.priors.delta,
-                         g.priors.mask)
-    r_pl, Jpl_pose, Jpl_plane = E.plane_edge_terms(g.poses, g.planes,
-                                                   g.plane_edges)
-    W_pl, c3 = _weighted(g.plane_edges.info, r_pl, g.plane_edges.kernel,
-                         g.plane_edges.delta, g.plane_edges.mask)
-    r_pp, Jpp = E.plane_prior_terms(g.planes, g.plane_priors)
-    W_pp, c4 = _weighted(g.plane_priors.info, r_pp, g.plane_priors.kernel,
-                         g.plane_priors.delta, g.plane_priors.mask)
-    r_qq, Jqq_a, Jqq_b = E.plane_plane_terms(g.planes, g.plane_plane)
-    W_qq, c5 = _weighted(g.plane_plane.info, r_qq, g.plane_plane.kernel,
-                         g.plane_plane.delta, g.plane_plane.mask)
-    return LinearizedGraph(chi2=_psum_if(c1 + c2 + c3 + c4 + c5, axis_name),
+    terms stay local to their shard). Zero-capacity families are elided
+    statically (see `_has`)."""
+    z = jnp.zeros
+    chi2 = jnp.float32(0.0)
+    if _has(g.se3):
+        r_se3, Ji, Jj = E.se3_edge_terms(g.poses, g.se3)
+        W_se3, c = _weighted(g.se3.info, r_se3, g.se3.kernel, g.se3.delta,
+                             g.se3.mask)
+        chi2 += c
+    else:
+        r_se3, Ji, Jj = z((0, 6)), z((0, 6, 6)), z((0, 6, 6))
+        W_se3 = z((0, 6, 6))
+    if _has(g.priors):
+        r_pr, Jp = E.prior_edge_terms(g.poses, g.priors)
+        W_pr, c = _weighted(g.priors.info, r_pr, g.priors.kernel,
+                            g.priors.delta, g.priors.mask)
+        chi2 += c
+    else:
+        r_pr, Jp, W_pr = z((0, 3)), z((0, 3, 6)), z((0, 3, 3))
+    if _has(g.plane_edges):
+        r_pl, Jpl_pose, Jpl_plane = E.plane_edge_terms(g.poses, g.planes,
+                                                       g.plane_edges)
+        W_pl, c = _weighted(g.plane_edges.info, r_pl, g.plane_edges.kernel,
+                            g.plane_edges.delta, g.plane_edges.mask)
+        chi2 += c
+    else:
+        r_pl, Jpl_pose = z((0, 3)), z((0, 3, 6))
+        Jpl_plane, W_pl = z((0, 3, 3)), z((0, 3, 3))
+    if _has(g.plane_priors):
+        r_pp, Jpp = E.plane_prior_terms(g.planes, g.plane_priors)
+        W_pp, c = _weighted(g.plane_priors.info, r_pp, g.plane_priors.kernel,
+                            g.plane_priors.delta, g.plane_priors.mask)
+        chi2 += c
+    else:
+        r_pp, Jpp, W_pp = z((0, 4)), z((0, 4, 3)), z((0, 4, 4))
+    if _has(g.plane_plane):
+        r_qq, Jqq_a, Jqq_b = E.plane_plane_terms(g.planes, g.plane_plane)
+        W_qq, c = _weighted(g.plane_plane.info, r_qq, g.plane_plane.kernel,
+                            g.plane_plane.delta, g.plane_plane.mask)
+        chi2 += c
+    else:
+        r_qq, Jqq_a = z((0, 4)), z((0, 4, 3))
+        Jqq_b, W_qq = z((0, 4, 3)), z((0, 4, 4))
+    return LinearizedGraph(chi2=_psum_if(chi2, axis_name),
                            r_se3=r_se3, Ji=Ji, Jj=Jj,
                            W_se3=W_se3, r_pr=r_pr, Jp=Jp, W_pr=W_pr,
                            r_pl=r_pl, Jpl_pose=Jpl_pose,
@@ -111,22 +151,34 @@ def linearize(g: PoseGraphData, axis_name=None) -> LinearizedGraph:
 
 
 def chi2_only(g: PoseGraphData, axis_name=None) -> jnp.ndarray:
-    r_se3 = jax.vmap(se3.pose_error)(
-        g.se3.meas, g.poses[g.se3.from_idx], g.poses[g.se3.to_idx])
-    _, c1 = _weighted(g.se3.info, r_se3, g.se3.kernel, g.se3.delta, g.se3.mask)
-    r_pr, _ = E.prior_edge_terms(g.poses, g.priors)
-    _, c2 = _weighted(g.priors.info, r_pr, g.priors.kernel, g.priors.delta,
-                      g.priors.mask)
-    r_pl, _, _ = E.plane_edge_terms(g.poses, g.planes, g.plane_edges)
-    _, c3 = _weighted(g.plane_edges.info, r_pl, g.plane_edges.kernel,
-                      g.plane_edges.delta, g.plane_edges.mask)
-    r_pp, _ = E.plane_prior_terms(g.planes, g.plane_priors)
-    _, c4 = _weighted(g.plane_priors.info, r_pp, g.plane_priors.kernel,
-                      g.plane_priors.delta, g.plane_priors.mask)
-    r_qq, _, _ = E.plane_plane_terms(g.planes, g.plane_plane)
-    _, c5 = _weighted(g.plane_plane.info, r_qq, g.plane_plane.kernel,
-                      g.plane_plane.delta, g.plane_plane.mask)
-    return _psum_if(c1 + c2 + c3 + c4 + c5, axis_name)
+    chi2 = jnp.float32(0.0)
+    if _has(g.se3):
+        r_se3 = jax.vmap(se3.pose_error)(
+            g.se3.meas, g.poses[g.se3.from_idx], g.poses[g.se3.to_idx])
+        _, c = _weighted(g.se3.info, r_se3, g.se3.kernel, g.se3.delta,
+                         g.se3.mask)
+        chi2 += c
+    if _has(g.priors):
+        r_pr, _ = E.prior_edge_terms(g.poses, g.priors)
+        _, c = _weighted(g.priors.info, r_pr, g.priors.kernel,
+                         g.priors.delta, g.priors.mask)
+        chi2 += c
+    if _has(g.plane_edges):
+        r_pl, _, _ = E.plane_edge_terms(g.poses, g.planes, g.plane_edges)
+        _, c = _weighted(g.plane_edges.info, r_pl, g.plane_edges.kernel,
+                         g.plane_edges.delta, g.plane_edges.mask)
+        chi2 += c
+    if _has(g.plane_priors):
+        r_pp, _ = E.plane_prior_terms(g.planes, g.plane_priors)
+        _, c = _weighted(g.plane_priors.info, r_pp, g.plane_priors.kernel,
+                         g.plane_priors.delta, g.plane_priors.mask)
+        chi2 += c
+    if _has(g.plane_plane):
+        r_qq, _, _ = E.plane_plane_terms(g.planes, g.plane_plane)
+        _, c = _weighted(g.plane_plane.info, r_qq, g.plane_plane.kernel,
+                         g.plane_plane.delta, g.plane_plane.mask)
+        chi2 += c
+    return _psum_if(chi2, axis_name)
 
 
 # ---------------------------------------------------------------------------
@@ -143,27 +195,36 @@ def gradient(g: PoseGraphData, lin: LinearizedGraph, axis_name=None):
     """-(J^T W r) stacked per node pool, free dofs only; psum over the
     edge-shard axis when distributed."""
     n, p = g.n_nodes, g.n_planes
-    Wr = jnp.einsum("eij,ej->ei", lin.W_se3, lin.r_se3)
-    g_n = jax.ops.segment_sum(jnp.einsum("eai,ea->ei", lin.Ji, Wr),
-                              g.se3.from_idx, num_segments=n)
-    g_n += jax.ops.segment_sum(jnp.einsum("eai,ea->ei", lin.Jj, Wr),
-                               g.se3.to_idx, num_segments=n)
-    Wr_pr = jnp.einsum("eij,ej->ei", lin.W_pr, lin.r_pr)
-    g_n += jax.ops.segment_sum(jnp.einsum("eai,ea->ei", lin.Jp, Wr_pr),
-                               g.priors.node_idx, num_segments=n)
-    Wr_pl = jnp.einsum("eij,ej->ei", lin.W_pl, lin.r_pl)
-    g_n += jax.ops.segment_sum(jnp.einsum("eai,ea->ei", lin.Jpl_pose, Wr_pl),
-                               g.plane_edges.node_idx, num_segments=n)
-    g_p = jax.ops.segment_sum(jnp.einsum("eai,ea->ei", lin.Jpl_plane, Wr_pl),
-                              g.plane_edges.plane_idx, num_segments=p)
-    Wr_pp = jnp.einsum("eij,ej->ei", lin.W_pp, lin.r_pp)
-    g_p += jax.ops.segment_sum(jnp.einsum("eai,ea->ei", lin.Jpp, Wr_pp),
-                               g.plane_priors.plane_idx, num_segments=p)
-    Wr_qq = jnp.einsum("eij,ej->ei", lin.W_qq, lin.r_qq)
-    g_p += jax.ops.segment_sum(jnp.einsum("eai,ea->ei", lin.Jqq_a, Wr_qq),
-                               g.plane_plane.from_idx, num_segments=p)
-    g_p += jax.ops.segment_sum(jnp.einsum("eai,ea->ei", lin.Jqq_b, Wr_qq),
-                               g.plane_plane.to_idx, num_segments=p)
+    g_n = jnp.zeros((n, 6), jnp.float32)
+    g_p = jnp.zeros((p, 3), jnp.float32)
+    if _has(g.se3):
+        Wr = jnp.einsum("eij,ej->ei", lin.W_se3, lin.r_se3)
+        g_n += jax.ops.segment_sum(jnp.einsum("eai,ea->ei", lin.Ji, Wr),
+                                   g.se3.from_idx, num_segments=n)
+        g_n += jax.ops.segment_sum(jnp.einsum("eai,ea->ei", lin.Jj, Wr),
+                                   g.se3.to_idx, num_segments=n)
+    if _has(g.priors):
+        Wr_pr = jnp.einsum("eij,ej->ei", lin.W_pr, lin.r_pr)
+        g_n += jax.ops.segment_sum(jnp.einsum("eai,ea->ei", lin.Jp, Wr_pr),
+                                   g.priors.node_idx, num_segments=n)
+    if _has(g.plane_edges):
+        Wr_pl = jnp.einsum("eij,ej->ei", lin.W_pl, lin.r_pl)
+        g_n += jax.ops.segment_sum(
+            jnp.einsum("eai,ea->ei", lin.Jpl_pose, Wr_pl),
+            g.plane_edges.node_idx, num_segments=n)
+        g_p += jax.ops.segment_sum(
+            jnp.einsum("eai,ea->ei", lin.Jpl_plane, Wr_pl),
+            g.plane_edges.plane_idx, num_segments=p)
+    if _has(g.plane_priors):
+        Wr_pp = jnp.einsum("eij,ej->ei", lin.W_pp, lin.r_pp)
+        g_p += jax.ops.segment_sum(jnp.einsum("eai,ea->ei", lin.Jpp, Wr_pp),
+                                   g.plane_priors.plane_idx, num_segments=p)
+    if _has(g.plane_plane):
+        Wr_qq = jnp.einsum("eij,ej->ei", lin.W_qq, lin.r_qq)
+        g_p += jax.ops.segment_sum(jnp.einsum("eai,ea->ei", lin.Jqq_a, Wr_qq),
+                                   g.plane_plane.from_idx, num_segments=p)
+        g_p += jax.ops.segment_sum(jnp.einsum("eai,ea->ei", lin.Jqq_b, Wr_qq),
+                                   g.plane_plane.to_idx, num_segments=p)
     fn, fp = _free_masks(g)
     return _psum_if(g_n, axis_name) * fn, _psum_if(g_p, axis_name) * fp
 
@@ -171,30 +232,40 @@ def gradient(g: PoseGraphData, lin: LinearizedGraph, axis_name=None):
 def block_diagonal(g: PoseGraphData, lin: LinearizedGraph, axis_name=None):
     """Per-node 6x6 and per-plane 3x3 diagonal blocks of H."""
     n, p = g.n_nodes, g.n_planes
-    WJi = jnp.einsum("eab,ebj->eaj", lin.W_se3, lin.Ji)
-    WJj = jnp.einsum("eab,ebj->eaj", lin.W_se3, lin.Jj)
-    D_n = jax.ops.segment_sum(jnp.einsum("eai,eaj->eij", lin.Ji, WJi),
-                              g.se3.from_idx, num_segments=n)
-    D_n += jax.ops.segment_sum(jnp.einsum("eai,eaj->eij", lin.Jj, WJj),
-                               g.se3.to_idx, num_segments=n)
-    WJp = jnp.einsum("eab,ebj->eaj", lin.W_pr, lin.Jp)
-    D_n += jax.ops.segment_sum(jnp.einsum("eai,eaj->eij", lin.Jp, WJp),
-                               g.priors.node_idx, num_segments=n)
-    WJpl = jnp.einsum("eab,ebj->eaj", lin.W_pl, lin.Jpl_pose)
-    D_n += jax.ops.segment_sum(jnp.einsum("eai,eaj->eij", lin.Jpl_pose, WJpl),
-                               g.plane_edges.node_idx, num_segments=n)
-    WJpp = jnp.einsum("eab,ebj->eaj", lin.W_pl, lin.Jpl_plane)
-    D_p = jax.ops.segment_sum(jnp.einsum("eai,eaj->eij", lin.Jpl_plane, WJpp),
-                              g.plane_edges.plane_idx, num_segments=p)
-    WJprior = jnp.einsum("eab,ebj->eaj", lin.W_pp, lin.Jpp)
-    D_p += jax.ops.segment_sum(jnp.einsum("eai,eaj->eij", lin.Jpp, WJprior),
-                               g.plane_priors.plane_idx, num_segments=p)
-    WJa = jnp.einsum("eab,ebj->eaj", lin.W_qq, lin.Jqq_a)
-    WJb = jnp.einsum("eab,ebj->eaj", lin.W_qq, lin.Jqq_b)
-    D_p += jax.ops.segment_sum(jnp.einsum("eai,eaj->eij", lin.Jqq_a, WJa),
-                               g.plane_plane.from_idx, num_segments=p)
-    D_p += jax.ops.segment_sum(jnp.einsum("eai,eaj->eij", lin.Jqq_b, WJb),
-                               g.plane_plane.to_idx, num_segments=p)
+    D_n = jnp.zeros((n, 6, 6), jnp.float32)
+    D_p = jnp.zeros((p, 3, 3), jnp.float32)
+    if _has(g.se3):
+        WJi = jnp.einsum("eab,ebj->eaj", lin.W_se3, lin.Ji)
+        WJj = jnp.einsum("eab,ebj->eaj", lin.W_se3, lin.Jj)
+        D_n += jax.ops.segment_sum(jnp.einsum("eai,eaj->eij", lin.Ji, WJi),
+                                   g.se3.from_idx, num_segments=n)
+        D_n += jax.ops.segment_sum(jnp.einsum("eai,eaj->eij", lin.Jj, WJj),
+                                   g.se3.to_idx, num_segments=n)
+    if _has(g.priors):
+        WJp = jnp.einsum("eab,ebj->eaj", lin.W_pr, lin.Jp)
+        D_n += jax.ops.segment_sum(jnp.einsum("eai,eaj->eij", lin.Jp, WJp),
+                                   g.priors.node_idx, num_segments=n)
+    if _has(g.plane_edges):
+        WJpl = jnp.einsum("eab,ebj->eaj", lin.W_pl, lin.Jpl_pose)
+        D_n += jax.ops.segment_sum(
+            jnp.einsum("eai,eaj->eij", lin.Jpl_pose, WJpl),
+            g.plane_edges.node_idx, num_segments=n)
+        WJpp = jnp.einsum("eab,ebj->eaj", lin.W_pl, lin.Jpl_plane)
+        D_p += jax.ops.segment_sum(
+            jnp.einsum("eai,eaj->eij", lin.Jpl_plane, WJpp),
+            g.plane_edges.plane_idx, num_segments=p)
+    if _has(g.plane_priors):
+        WJprior = jnp.einsum("eab,ebj->eaj", lin.W_pp, lin.Jpp)
+        D_p += jax.ops.segment_sum(
+            jnp.einsum("eai,eaj->eij", lin.Jpp, WJprior),
+            g.plane_priors.plane_idx, num_segments=p)
+    if _has(g.plane_plane):
+        WJa = jnp.einsum("eab,ebj->eaj", lin.W_qq, lin.Jqq_a)
+        WJb = jnp.einsum("eab,ebj->eaj", lin.W_qq, lin.Jqq_b)
+        D_p += jax.ops.segment_sum(jnp.einsum("eai,eaj->eij", lin.Jqq_a, WJa),
+                                   g.plane_plane.from_idx, num_segments=p)
+        D_p += jax.ops.segment_sum(jnp.einsum("eai,eaj->eij", lin.Jqq_b, WJb),
+                                   g.plane_plane.to_idx, num_segments=p)
     return _psum_if(D_n, axis_name), _psum_if(D_p, axis_name)
 
 
@@ -210,50 +281,55 @@ def make_hvp(g: PoseGraphData, lin: LinearizedGraph, axis_name=None):
     def hvp(v_n, v_p):
         v_n = v_n * fn
         v_p = v_p * fp
-        # SE3 edges
-        u = (jnp.einsum("eai,ei->ea", lin.Ji, v_n[g.se3.from_idx])
-             + jnp.einsum("eai,ei->ea", lin.Jj, v_n[g.se3.to_idx]))
-        Wu = jnp.einsum("eab,eb->ea", lin.W_se3, u)
-        out_n = jax.ops.segment_sum(jnp.einsum("eai,ea->ei", lin.Ji, Wu),
-                                    g.se3.from_idx, num_segments=n)
-        out_n += jax.ops.segment_sum(jnp.einsum("eai,ea->ei", lin.Jj, Wu),
-                                     g.se3.to_idx, num_segments=n)
-        # priors
-        up = jnp.einsum("eai,ei->ea", lin.Jp, v_n[g.priors.node_idx])
-        Wup = jnp.einsum("eab,eb->ea", lin.W_pr, up)
-        out_n += jax.ops.segment_sum(jnp.einsum("eai,ea->ei", lin.Jp, Wup),
-                                     g.priors.node_idx, num_segments=n)
-        # plane edges
-        upl = (jnp.einsum("eai,ei->ea", lin.Jpl_pose,
-                          v_n[g.plane_edges.node_idx])
-               + jnp.einsum("eai,ei->ea", lin.Jpl_plane,
-                            v_p[g.plane_edges.plane_idx]))
-        Wupl = jnp.einsum("eab,eb->ea", lin.W_pl, upl)
-        out_n += jax.ops.segment_sum(
-            jnp.einsum("eai,ea->ei", lin.Jpl_pose, Wupl),
-            g.plane_edges.node_idx, num_segments=n)
-        out_p = jax.ops.segment_sum(
-            jnp.einsum("eai,ea->ei", lin.Jpl_plane, Wupl),
-            g.plane_edges.plane_idx, num_segments=p)
-        # plane priors
-        upp = jnp.einsum("eai,ei->ea", lin.Jpp,
-                         v_p[g.plane_priors.plane_idx])
-        Wupp = jnp.einsum("eab,eb->ea", lin.W_pp, upp)
-        out_p += jax.ops.segment_sum(
-            jnp.einsum("eai,ea->ei", lin.Jpp, Wupp),
-            g.plane_priors.plane_idx, num_segments=p)
-        # plane-plane
-        uqq = (jnp.einsum("eai,ei->ea", lin.Jqq_a,
-                          v_p[g.plane_plane.from_idx])
-               + jnp.einsum("eai,ei->ea", lin.Jqq_b,
-                            v_p[g.plane_plane.to_idx]))
-        Wuqq = jnp.einsum("eab,eb->ea", lin.W_qq, uqq)
-        out_p += jax.ops.segment_sum(
-            jnp.einsum("eai,ea->ei", lin.Jqq_a, Wuqq),
-            g.plane_plane.from_idx, num_segments=p)
-        out_p += jax.ops.segment_sum(
-            jnp.einsum("eai,ea->ei", lin.Jqq_b, Wuqq),
-            g.plane_plane.to_idx, num_segments=p)
+        out_n = jnp.zeros((n, 6), jnp.float32)
+        out_p = jnp.zeros((p, 3), jnp.float32)
+        if _has(g.se3):
+            u = (jnp.einsum("eai,ei->ea", lin.Ji, v_n[g.se3.from_idx])
+                 + jnp.einsum("eai,ei->ea", lin.Jj, v_n[g.se3.to_idx]))
+            Wu = jnp.einsum("eab,eb->ea", lin.W_se3, u)
+            out_n += jax.ops.segment_sum(
+                jnp.einsum("eai,ea->ei", lin.Ji, Wu),
+                g.se3.from_idx, num_segments=n)
+            out_n += jax.ops.segment_sum(
+                jnp.einsum("eai,ea->ei", lin.Jj, Wu),
+                g.se3.to_idx, num_segments=n)
+        if _has(g.priors):
+            up = jnp.einsum("eai,ei->ea", lin.Jp, v_n[g.priors.node_idx])
+            Wup = jnp.einsum("eab,eb->ea", lin.W_pr, up)
+            out_n += jax.ops.segment_sum(
+                jnp.einsum("eai,ea->ei", lin.Jp, Wup),
+                g.priors.node_idx, num_segments=n)
+        if _has(g.plane_edges):
+            upl = (jnp.einsum("eai,ei->ea", lin.Jpl_pose,
+                              v_n[g.plane_edges.node_idx])
+                   + jnp.einsum("eai,ei->ea", lin.Jpl_plane,
+                                v_p[g.plane_edges.plane_idx]))
+            Wupl = jnp.einsum("eab,eb->ea", lin.W_pl, upl)
+            out_n += jax.ops.segment_sum(
+                jnp.einsum("eai,ea->ei", lin.Jpl_pose, Wupl),
+                g.plane_edges.node_idx, num_segments=n)
+            out_p += jax.ops.segment_sum(
+                jnp.einsum("eai,ea->ei", lin.Jpl_plane, Wupl),
+                g.plane_edges.plane_idx, num_segments=p)
+        if _has(g.plane_priors):
+            upp = jnp.einsum("eai,ei->ea", lin.Jpp,
+                             v_p[g.plane_priors.plane_idx])
+            Wupp = jnp.einsum("eab,eb->ea", lin.W_pp, upp)
+            out_p += jax.ops.segment_sum(
+                jnp.einsum("eai,ea->ei", lin.Jpp, Wupp),
+                g.plane_priors.plane_idx, num_segments=p)
+        if _has(g.plane_plane):
+            uqq = (jnp.einsum("eai,ei->ea", lin.Jqq_a,
+                              v_p[g.plane_plane.from_idx])
+                   + jnp.einsum("eai,ei->ea", lin.Jqq_b,
+                                v_p[g.plane_plane.to_idx]))
+            Wuqq = jnp.einsum("eab,eb->ea", lin.W_qq, uqq)
+            out_p += jax.ops.segment_sum(
+                jnp.einsum("eai,ea->ei", lin.Jqq_a, Wuqq),
+                g.plane_plane.from_idx, num_segments=p)
+            out_p += jax.ops.segment_sum(
+                jnp.einsum("eai,ea->ei", lin.Jqq_b, Wuqq),
+                g.plane_plane.to_idx, num_segments=p)
         return _psum_if(out_n, axis_name) * fn, _psum_if(out_p, axis_name) * fp
 
     return hvp
@@ -335,36 +411,46 @@ def assemble_dense(g: PoseGraphData, lin: LinearizedGraph, axis_name=None):
     def idxp(plane_idx):
         return 6 * n + plane_idx[:, None] * 3 + jnp.arange(3)[None, :]
 
-    WJi = jnp.einsum("eab,ebj->eaj", lin.W_se3, lin.Ji)
-    WJj = jnp.einsum("eab,ebj->eaj", lin.W_se3, lin.Jj)
-    fi, ti = idx6(g.se3.from_idx), idx6(g.se3.to_idx)
-    H = add_block(H, fi, fi, jnp.einsum("eai,eaj->eij", lin.Ji, WJi))
-    H = add_block(H, fi, ti, jnp.einsum("eai,eaj->eij", lin.Ji, WJj))
-    H = add_block(H, ti, fi, jnp.einsum("eai,eaj->eij", lin.Jj, WJi))
-    H = add_block(H, ti, ti, jnp.einsum("eai,eaj->eij", lin.Jj, WJj))
+    if _has(g.se3):
+        WJi = jnp.einsum("eab,ebj->eaj", lin.W_se3, lin.Ji)
+        WJj = jnp.einsum("eab,ebj->eaj", lin.W_se3, lin.Jj)
+        fi, ti = idx6(g.se3.from_idx), idx6(g.se3.to_idx)
+        H = add_block(H, fi, fi, jnp.einsum("eai,eaj->eij", lin.Ji, WJi))
+        H = add_block(H, fi, ti, jnp.einsum("eai,eaj->eij", lin.Ji, WJj))
+        H = add_block(H, ti, fi, jnp.einsum("eai,eaj->eij", lin.Jj, WJi))
+        H = add_block(H, ti, ti, jnp.einsum("eai,eaj->eij", lin.Jj, WJj))
 
-    WJp = jnp.einsum("eab,ebj->eaj", lin.W_pr, lin.Jp)
-    ni = idx6(g.priors.node_idx)
-    H = add_block(H, ni, ni, jnp.einsum("eai,eaj->eij", lin.Jp, WJp))
+    if _has(g.priors):
+        WJp = jnp.einsum("eab,ebj->eaj", lin.W_pr, lin.Jp)
+        ni = idx6(g.priors.node_idx)
+        H = add_block(H, ni, ni, jnp.einsum("eai,eaj->eij", lin.Jp, WJp))
 
-    WJpl = jnp.einsum("eab,ebj->eaj", lin.W_pl, lin.Jpl_pose)
-    WJpp = jnp.einsum("eab,ebj->eaj", lin.W_pl, lin.Jpl_plane)
-    pi, pli = idx6(g.plane_edges.node_idx), idxp(g.plane_edges.plane_idx)
-    H = add_block(H, pi, pi, jnp.einsum("eai,eaj->eij", lin.Jpl_pose, WJpl))
-    H = add_block(H, pi, pli, jnp.einsum("eai,eaj->eij", lin.Jpl_pose, WJpp))
-    H = add_block(H, pli, pi, jnp.einsum("eai,eaj->eij", lin.Jpl_plane, WJpl))
-    H = add_block(H, pli, pli, jnp.einsum("eai,eaj->eij", lin.Jpl_plane, WJpp))
+    if _has(g.plane_edges):
+        WJpl = jnp.einsum("eab,ebj->eaj", lin.W_pl, lin.Jpl_pose)
+        WJpp = jnp.einsum("eab,ebj->eaj", lin.W_pl, lin.Jpl_plane)
+        pi, pli = idx6(g.plane_edges.node_idx), idxp(g.plane_edges.plane_idx)
+        H = add_block(H, pi, pi,
+                      jnp.einsum("eai,eaj->eij", lin.Jpl_pose, WJpl))
+        H = add_block(H, pi, pli,
+                      jnp.einsum("eai,eaj->eij", lin.Jpl_pose, WJpp))
+        H = add_block(H, pli, pi,
+                      jnp.einsum("eai,eaj->eij", lin.Jpl_plane, WJpl))
+        H = add_block(H, pli, pli,
+                      jnp.einsum("eai,eaj->eij", lin.Jpl_plane, WJpp))
 
-    WJprior = jnp.einsum("eab,ebj->eaj", lin.W_pp, lin.Jpp)
-    ppi = idxp(g.plane_priors.plane_idx)
-    H = add_block(H, ppi, ppi, jnp.einsum("eai,eaj->eij", lin.Jpp, WJprior))
-    WJa = jnp.einsum("eab,ebj->eaj", lin.W_qq, lin.Jqq_a)
-    WJb = jnp.einsum("eab,ebj->eaj", lin.W_qq, lin.Jqq_b)
-    qa, qb = idxp(g.plane_plane.from_idx), idxp(g.plane_plane.to_idx)
-    H = add_block(H, qa, qa, jnp.einsum("eai,eaj->eij", lin.Jqq_a, WJa))
-    H = add_block(H, qa, qb, jnp.einsum("eai,eaj->eij", lin.Jqq_a, WJb))
-    H = add_block(H, qb, qa, jnp.einsum("eai,eaj->eij", lin.Jqq_b, WJa))
-    H = add_block(H, qb, qb, jnp.einsum("eai,eaj->eij", lin.Jqq_b, WJb))
+    if _has(g.plane_priors):
+        WJprior = jnp.einsum("eab,ebj->eaj", lin.W_pp, lin.Jpp)
+        ppi = idxp(g.plane_priors.plane_idx)
+        H = add_block(H, ppi, ppi,
+                      jnp.einsum("eai,eaj->eij", lin.Jpp, WJprior))
+    if _has(g.plane_plane):
+        WJa = jnp.einsum("eab,ebj->eaj", lin.W_qq, lin.Jqq_a)
+        WJb = jnp.einsum("eab,ebj->eaj", lin.W_qq, lin.Jqq_b)
+        qa, qb = idxp(g.plane_plane.from_idx), idxp(g.plane_plane.to_idx)
+        H = add_block(H, qa, qa, jnp.einsum("eai,eaj->eij", lin.Jqq_a, WJa))
+        H = add_block(H, qa, qb, jnp.einsum("eai,eaj->eij", lin.Jqq_a, WJb))
+        H = add_block(H, qb, qa, jnp.einsum("eai,eaj->eij", lin.Jqq_b, WJa))
+        H = add_block(H, qb, qb, jnp.einsum("eai,eaj->eij", lin.Jqq_b, WJb))
 
     g_n, g_p = gradient(g, lin, axis_name=axis_name)
     b = -jnp.concatenate([g_n.reshape(-1), g_p.reshape(-1)])
@@ -492,7 +578,9 @@ def _optimize_body(stat, dyn, g: PoseGraphData,
             dx_p = x[6 * n:].reshape(g_.n_planes, 3)
         else:
             g_n, g_p = gradient(g_, lin, axis_name=axis_name)
-            gnorm = jnp.maximum(jnp.max(jnp.abs(g_n)), jnp.max(jnp.abs(g_p)))
+            gnorm = jnp.max(jnp.abs(g_n))
+            if g_.n_planes:  # jnp.max of a zero-size array is an error
+                gnorm = jnp.maximum(gnorm, jnp.max(jnp.abs(g_p)))
             fn, fp = _free_masks(g_)
             eye6 = jnp.eye(6, dtype=jnp.float32)
             eye3 = jnp.eye(3, dtype=jnp.float32)

@@ -39,9 +39,27 @@ class GraphDatabase:
         self.cfg = cfg
         self.own_name = cfg.own_name
         self.slam_uuid = new_uuid()  # per-run graph instance id
+        # Aux-family capacities follow the enabled processors: a family
+        # whose table has ZERO capacity contributes zero HLO per LM
+        # iteration (graph/solve.py `_has`), so the common pose-only
+        # deployment pays only for the SE3 sweep. Priors/planes arriving
+        # anyway (e.g. a loaded .g2o with priors while GPS is off) are
+        # covered by the stores' automatic doubling growth.
+        use_priors = (cfg.gps.enable_gps or cfg.imu.enable_imu_orientation
+                      or cfg.imu.enable_imu_acceleration)
+        use_floor = cfg.floor_coeffs.enable_floor_coeffs
         self.graph = graph or GraphSLAM(
             cfg.optimizer, capacity_nodes=cfg.capacity_keyframes,
-            capacity_edges=cfg.capacity_edges)
+            capacity_edges=cfg.capacity_edges,
+            # <=3 priors per keyframe (GPS xyz + IMU quat + IMU vec); the
+            # floor pipeline attaches one global plane node and at most one
+            # plane edge per keyframe (floor_coeffs_processor.cpp:68-78)
+            capacity_priors=2 * cfg.capacity_keyframes if use_priors else 0,
+            capacity_planes=2 if use_floor else 0,
+            capacity_plane_edges=cfg.capacity_keyframes if use_floor else 0,
+            # plane-prior / plane-plane edges are never created by the live
+            # pipeline (reference registers but does not use them)
+            capacity_plane_priors=0, capacity_plane_plane=0)
         self.inf_calculator = InformationMatrixCalculator(cfg.inf_matrix)
 
         self.keyframes: List[KeyFrame] = []       # flushed, loop-checked

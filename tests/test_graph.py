@@ -213,6 +213,49 @@ def test_chordal_init_enters_lm_basin(rng):
     assert chi2 < 10.0
 
 
+@pytest.mark.parametrize("backend", ["dense", "cg"])
+def test_zero_capacity_aux_families_elided(rng, backend):
+    """A pose-only graph with ZERO-capacity prior/plane tables (the static
+    elision path, graph/solve.py `_has`) must optimize to exactly where a
+    graph with padded-but-empty aux tables lands — and growing a family
+    from zero afterwards must work."""
+    cfg = OptimizerConfig(solver_backend=backend,
+                          g2o_solver_num_iterations=64)
+    lean = GraphSLAM(cfg, capacity_nodes=32, capacity_edges=64,
+                     capacity_planes=0, capacity_priors=0,
+                     capacity_plane_edges=0, capacity_plane_priors=0,
+                     capacity_plane_plane=0)
+    padded = GraphSLAM(cfg, capacity_nodes=32, capacity_edges=64,
+                       capacity_planes=4, capacity_priors=16,
+                       capacity_plane_edges=16, capacity_plane_priors=4,
+                       capacity_plane_plane=4)
+    for gs in (lean, padded):
+        r = np.random.default_rng(11)
+        ids = [gs.add_se3_node([0, 0, 0, 1, 0, 0, 0], fixed=True)]
+        for i in range(1, 12):
+            t = r.normal(scale=0.05, size=3)
+            pose = np.asarray([i + t[0], t[1], t[2], 1, 0, 0, 0], np.float32)
+            pose[3:] /= np.linalg.norm(pose[3:])
+            ids.append(gs.add_se3_node(pose))
+            gs.add_se3_edge(ids[i - 1], ids[i], [1, 0, 0, 1, 0, 0, 0],
+                            info66(0.1, 0.05))
+        gs.add_se3_edge(ids[-1], ids[0], [-11, 0, 0, 1, 0, 0, 0],
+                        info66(0.01, 0.01))
+        gs.optimize()
+    np.testing.assert_allclose(lean.poses, padded.poses, atol=1e-5)
+    assert abs(lean.chi2_final - padded.chi2_final) < 1e-3
+    # marginals ride the elided program too
+    cov = lean.compute_marginals(exact=True)
+    assert cov.shape == (12, 6, 6) and (np.diagonal(
+        cov[1:], axis1=1, axis2=2) > 0).all()
+    # growth from zero: a prior and a plane arriving later must still work
+    lean.add_se3_prior_xyz_edge(ids[3], [3, 0, 0], np.eye(3) * 25.0)
+    p = lean.add_plane_node([0, 0, 1, 0], fixed=True)
+    lean.add_se3_plane_edge(ids[1], p, [0, 0, 1, 0], np.eye(3) * 10.0)
+    chi2 = lean.optimize()
+    assert np.isfinite(chi2) and lean.chi2_initial >= chi2
+
+
 def test_capacity_growth_matches_preallocated(rng):
     """Stores double on overflow: a graph built with tiny initial
     capacities must land exactly where a comfortably preallocated one
