@@ -567,16 +567,19 @@ def _optimize_body(stat, dyn, g: PoseGraphData,
 
     def solve_delta(g_, lin, lam, g0norm):
         """-> (dx_n, dx_p, pred_reduction, gradient_inf_norm)."""
-        D_n, D_p = block_diagonal(g_, lin, axis_name=axis_name)
-        d_n = jnp.diagonal(D_n, axis1=-2, axis2=-1)
-        d_p = jnp.diagonal(D_p, axis1=-2, axis2=-1)
         if solver_backend == "dense":
+            # the damping diagonal comes straight off the assembled H
+            # (dense_delta reads diagonal(H)); tracing block_diagonal here
+            # would only add dead HLO for XLA to eliminate
             H, b, free = assemble_dense(g_, lin, axis_name=axis_name)
             x, pred, gnorm = dense_delta(H, b, free, lam)
             n = g_.n_nodes
             dx_n = x[: 6 * n].reshape(n, 6)
             dx_p = x[6 * n:].reshape(g_.n_planes, 3)
         else:
+            D_n, D_p = block_diagonal(g_, lin, axis_name=axis_name)
+            d_n = jnp.diagonal(D_n, axis1=-2, axis2=-1)
+            d_p = jnp.diagonal(D_p, axis1=-2, axis2=-1)
             g_n, g_p = gradient(g_, lin, axis_name=axis_name)
             gnorm = jnp.max(jnp.abs(g_n))
             if g_.n_planes:  # jnp.max of a zero-size array is an error
