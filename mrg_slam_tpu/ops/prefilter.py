@@ -39,6 +39,12 @@ def statistical_outlier_mask(cloud: PointCloud, mean_k: int,
     """pcl::StatisticalOutlierRemoval semantics
     (prefiltering_component.cpp:182-193): per-point mean distance to k NN;
     drop points whose mean distance exceeds global mean + mult * stddev.
+
+    Cost note: this is exact O(N^2) brute-force kNN (MXU distance tiles +
+    top_k). That is acceptable by construction: the pipeline applies
+    outlier removal AFTER voxel downsampling, same as the reference
+    (prefiltering_component.cpp:149-151), so N here is bounded by
+    `capacity_filtered_points` (4-8k), never the 32k+ raw scan size.
     """
     d2, _ = knn.knn(cloud.points, cloud.points, cloud.mask, k=mean_k + 1)
     # first neighbor is self (distance 0)

@@ -49,7 +49,13 @@ def pytest_collection_modifyitems(items):
 
 @pytest.fixture
 def _clear_jax_caches():
-    jax.clear_caches()
+    # Only clear in single-process runs. Under xdist each worker runs
+    # ~N/4 tests — below the XLA:CPU live-executable segfault threshold —
+    # and clearing at every file boundary would force full re-traces of
+    # cross-file shared programs (the static/traced config split makes
+    # the heavy solver/pair programs file-agnostic, so reuse is common).
+    if "PYTEST_XDIST_WORKER" not in os.environ:
+        jax.clear_caches()
     yield
 
 
