@@ -50,11 +50,16 @@ class GraphMsg:
     edges: List[EdgeMsg]
 
     def nbytes(self) -> int:
-        """Payload accounting (mrg_slam_component.cpp:631-637)."""
+        """Payload accounting (mrg_slam_component.cpp:631-637).
+
+        Uses the shape-based `.nbytes` attribute (defined for both numpy and
+        jax arrays) — `np.asarray(...)` here was a full ~26 ms tunnel fetch
+        PER KEYFRAME CLOUD on sender and receiver, and was the single
+        largest term in the two-robot tick (4.2 s of an 8.1 s run)."""
         total = 0
         for k in self.keyframes:
-            total += int(np.asarray(k.cloud.points).nbytes
-                         + np.asarray(k.cloud.mask).nbytes + 7 * 4 + 64)
+            total += int(k.cloud.points.nbytes + k.cloud.mask.nbytes
+                         + 7 * 4 + 64)
         total += len(self.edges) * (7 * 4 + 36 * 4 + 48)
         return total
 
