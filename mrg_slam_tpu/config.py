@@ -220,7 +220,10 @@ class OptimizerConfig:
     # LM loop in practice always ran to the iteration cap.
     chi2_rel_tol: float = 1e-6
     lm_initial_lambda: float = 1e-6  # -1 semantics: auto from diag(H)
-    solver_backend: str = "dense"  # dense | cg (block-Jacobi PCG)
+    # dense | cg (block-Jacobi PCG) | chain (segmented block-tridiagonal
+    # Cholesky + Woodbury loop correction — the exact large-graph path,
+    # graph/chain_solver.py)
+    solver_backend: str = "dense"
     cg_max_iterations: int = 256
     cg_tol: float = 1e-6
     # per-tick marginal covariances attached to map/marker snapshots

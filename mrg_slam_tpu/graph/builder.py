@@ -384,7 +384,17 @@ class GraphSLAM:
         if cfg.chordal_init and self._n_nodes:
             from .chordal import chordal_init
             g = g._replace(poses=chordal_init(g))
-        res = solve.optimize(g, cfg)
+        aux = None
+        if cfg.solver_backend == "chain":
+            # classify coupling edges straight off the host staging
+            # buffers (no device fetch)
+            from .chain_solver import classify
+            aux = classify(self._se3.arrays["from_idx"],
+                           self._se3.arrays["to_idx"], self._se3.mask(),
+                           self._pl_edges.capacity, self._pl_pl.capacity,
+                           pl_mask=self._pl_edges.mask(),
+                           qq_mask=self._pl_pl.mask())
+        res = solve.optimize(g, cfg, aux=aux)
         n, p = self.num_nodes, self._n_planes
         mode = (marginals_mode if marginals_mode is not None
                 else cfg.per_tick_marginals)
@@ -455,7 +465,10 @@ def optimize_many(graphs) -> None:
     if not graphs:
         return
     cfg0 = graphs[0].cfg
-    if len(graphs) == 1 or any(g.cfg != cfg0 for g in graphs[1:]):
+    if (len(graphs) == 1 or any(g.cfg != cfg0 for g in graphs[1:])
+            or cfg0.solver_backend == "chain"):
+        # the chain backend's coupling classification is per-graph (and
+        # host-side), so chain-backend robots solve sequentially
         for g in graphs:
             g.optimize()
         return

@@ -20,7 +20,7 @@ projected out of the update.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -505,7 +505,8 @@ def _retract_all(g: PoseGraphData, dx_n, dx_p) -> PoseGraphData:
     return g._replace(poses=poses, planes=planes)
 
 
-def optimize(g: PoseGraphData, cfg: OptimizerConfig) -> OptimizeResult:
+def optimize(g: PoseGraphData, cfg: OptimizerConfig,
+             aux=None) -> OptimizeResult:
     """Levenberg-Marquardt with chi2-based accept/reject.
 
     Honors the reference's g2o settings: `g2o_solver_num_iterations` caps the
@@ -516,16 +517,48 @@ def optimize(g: PoseGraphData, cfg: OptimizerConfig) -> OptimizeResult:
     Only the backend/solver-type choice is a static jit argument; iteration
     caps and tolerances ride as traced scalars so tuning them reuses the
     compiled program (see ops.registration.split_reg for the rationale).
+
+    The "chain" backend (graph/chain_solver.py — segmented block-
+    tridiagonal Cholesky + Woodbury loop correction, the large-graph exact
+    path) additionally needs the host-side coupling classification `aux`;
+    it is computed here from the edge tables when not supplied.
     """
-    stat, dyn = split_optimizer(cfg)
-    return _optimize_split(stat, dyn, g)
+    stat, dyn = split_optimizer(cfg, g)
+    if stat[0] == "chain" and aux is None:
+        aux = chain_aux_for(g)
+    return _optimize_split(stat, dyn, g, aux)
 
 
-def split_optimizer(cfg: OptimizerConfig):
+def chain_aux_for(g: PoseGraphData):
+    """Host-side coupling classification for the chain backend (one small
+    int-array fetch when the tables live on device)."""
+    import numpy as np
+
+    from .chain_solver import classify
+    return classify(np.asarray(g.se3.from_idx), np.asarray(g.se3.to_idx),
+                    np.asarray(g.se3.mask),
+                    g.plane_edges.mask.shape[0],
+                    g.plane_plane.mask.shape[0],
+                    pl_mask=np.asarray(g.plane_edges.mask),
+                    qq_mask=np.asarray(g.plane_plane.mask))
+
+
+def _chain_K(n: int) -> int:
+    """Segment length for the chain backend: the largest power of two
+    <= 64 dividing the node capacity (capacities are powers of two)."""
+    k = 64
+    while k > 2 and n % k:
+        k //= 2
+    return k
+
+
+def split_optimizer(cfg: OptimizerConfig, g: Optional[PoseGraphData] = None):
     """Static program identity vs traced numeric knobs for the LM body —
     the single source of truth for every caller of `_optimize_body`
     (optimize, builder.optimize_many, parallel.dist_solver)."""
-    stat = (cfg.solver_backend, cfg.g2o_solver_type.startswith("lm"))
+    K = _chain_K(g.n_nodes) if (g is not None
+                                and cfg.solver_backend == "chain") else 0
+    stat = (cfg.solver_backend, cfg.g2o_solver_type.startswith("lm"), K)
     dyn = dict(max_outer=jnp.int32(cfg.g2o_solver_num_iterations),
                chi2_rel_tol=jnp.float32(cfg.chi2_rel_tol),
                lam0=jnp.float32(cfg.lm_initial_lambda),
@@ -535,24 +568,24 @@ def split_optimizer(cfg: OptimizerConfig):
 
 
 @functools.partial(jax.jit, static_argnames=("stat",))
-def _optimize_split(stat, dyn, g: PoseGraphData) -> OptimizeResult:
+def _optimize_split(stat, dyn, g: PoseGraphData, aux=None) -> OptimizeResult:
     # TPU matmuls (incl. the ones inside Cholesky factorization and the
     # einsum reductions) default to bf16 — enough error to stall LM at
     # chi2 ~40 where the optimum is ~1.6 (same failure mode as the NN
     # distance corruption documented in ops/pallas_nn.py). Everything in
     # the solver runs f32-highest.
     with jax.default_matmul_precision("highest"):
-        return _optimize_body(stat, dyn, g)
+        return _optimize_body(stat, dyn, g, aux=aux)
 
 
 def _optimize_body(stat, dyn, g: PoseGraphData,
-                   axis_name=None) -> OptimizeResult:
+                   axis_name=None, aux=None) -> OptimizeResult:
     """Shared LM loop. With `axis_name` set this body runs SPMD inside a
     shard_map over edge shards (parallel/dist_solver.py) — every reduction
     (chi2, gradient, diag blocks, dense assembly, Hv) psums over that axis
     and the replicated-state control flow (lambda schedule, accept/reject,
     early stop) is byte-identical to the single-device path."""
-    solver_backend, is_lm = stat
+    solver_backend, is_lm, chain_K = stat
     max_outer = dyn["max_outer"]
 
     # ONE linearization per LM iteration: the loop carries the current
@@ -576,6 +609,10 @@ def _optimize_body(stat, dyn, g: PoseGraphData,
             n = g_.n_nodes
             dx_n = x[: 6 * n].reshape(n, 6)
             dx_p = x[6 * n:].reshape(g_.n_planes, 3)
+        elif solver_backend == "chain":
+            from .chain_solver import chain_delta
+            dx_n, dx_p, pred, gnorm = chain_delta(g_, lin, lam, aux,
+                                                  chain_K)
         else:
             D_n, D_p = block_diagonal(g_, lin, axis_name=axis_name)
             d_n = jnp.diagonal(D_n, axis1=-2, axis2=-1)

@@ -144,9 +144,17 @@ class ScanMatchingOdometry:
                                  jnp.asarray(delta_guess))
         result = reg.align(self.params, source, self._target, guess)
 
+        # keep-last on failure, matching the fused path
+        # (odometry_fused.py): a registration that lost ALL correspondences
+        # returns its garbage running pose; accepting it poisons
+        # `last_delta` and the constant-velocity guess launches every
+        # subsequent solve out of correspondence range. Zero inliers /
+        # non-finite gates acceptance; solves that merely exhausted the
+        # iteration budget keep their (useful) estimate, like the
+        # reference front-end (scan_matching_odometry_component.cpp:270-273).
         converged = bool(result.converged) or int(result.iterations) > 0
         rel = np.asarray(result.pose, dtype=np.float32)
-        if not np.isfinite(rel).all():
+        if int(result.num_inliers) <= 0 or not np.isfinite(rel).all():
             converged = False
 
         if not converged:

@@ -122,6 +122,13 @@ class PairRunner:
         while b < n:
             b *= 2
         cap = requests[0].target.cloud.capacity
+        for r in requests:
+            # mixed capacities would silently mis-pad the bucket program
+            assert (r.target.cloud.capacity == cap
+                    and r.source.cloud.capacity == cap), (
+                "PairRunner bucket requires uniform keyframe cloud "
+                f"capacities (got {r.target.cloud.capacity}/"
+                f"{r.source.cloud.capacity}, expected {cap})")
         empty = empty_vox = empty_cloud = None
         tgts, srcs, tmaps, tclouds = [], [], [], []
         inits, iters, ranges = [], [], []

@@ -45,6 +45,7 @@ class InProcessBus:
         self._subs: Dict[str, list] = {}
         self._services: Dict[str, Callable] = {}
         self._lock = threading.Lock()
+        self._executor = None
 
     def subscribe(self, topic: str, fn: Callable) -> None:
         with self._lock:
@@ -60,12 +61,26 @@ class InProcessBus:
         with self._lock:
             self._services[name] = fn
 
-    def call(self, name: str, req, timeout: float = 20.0):
+    def call(self, name: str, req, timeout: Optional[float] = 20.0):
+        """Call a service with the same timeout semantics as SocketClient:
+        None on timeout (the reference's async service call + 20 s wait,
+        mrg_slam_component.cpp:617-625). `timeout=None` calls inline."""
         with self._lock:
             fn = self._services.get(name)
         if fn is None:
             return None
-        return fn(req)
+        if timeout is None:
+            return fn(req)
+        with self._lock:
+            if self._executor is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._executor = ThreadPoolExecutor(
+                    max_workers=4, thread_name_prefix="inproc-bus")
+        from concurrent.futures import TimeoutError as FutTimeout
+        try:
+            return self._executor.submit(fn, req).result(timeout=timeout)
+        except FutTimeout:
+            return None
 
 
 class SocketServer:

@@ -88,7 +88,7 @@ def optimize_distributed(g: PoseGraphData, cfg: OptimizerConfig,
     jit-static; iteration caps and tolerances ride as traced scalars so
     retuning never recompiles the SPMD program.
     """
-    (backend, is_lm), dyn = solve.split_optimizer(cfg)
+    (backend, is_lm, _), dyn = solve.split_optimizer(cfg)
     return _optimize_distributed_split(is_lm, backend, mesh, dyn, g)
 
 
@@ -114,7 +114,7 @@ def _optimize_distributed_split(is_lm, backend, mesh: Mesh, dyn,
         # For "dense": the scaling-book split — O(E) linearization +
         # assembly on the edge shards, ONE psum replicates the (D,D)
         # Hessian, equilibrated Cholesky runs replicated on every device.
-        return solve._optimize_body((backend, is_lm), dyn, g_local,
+        return solve._optimize_body((backend, is_lm, 0), dyn, g_local,
                                     axis_name=AXIS)
 
     # same bf16-matmul hazard as the single-device solver (graph/solve.py):

@@ -25,6 +25,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # cache even fast CPU compiles; the suite re-traces many static variants
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+# XLA:CPU cache entries are host-specific AOT code — pin per host
+# fingerprint so another machine's entries are never replayed here
+# (see mrg_slam_tpu/utils/hostcache.py)
+from mrg_slam_tpu.utils.hostcache import cpu_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", cpu_cache_dir(
+    os.environ["JAX_COMPILATION_CACHE_DIR"]))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -132,3 +132,26 @@ def test_robot_odometry_init_guess(world):
     est = np.stack(est)
     np.testing.assert_allclose(np.linalg.norm(np.diff(est[:, :3], axis=0),
                                               axis=1), 3.0, atol=0.2)
+
+
+def test_zero_overlap_keeps_last_pose(world):
+    """A scan with NO overlap with the keyframe (all correspondences lost)
+    must not move the odometry estimate: the registration returns its
+    garbage running pose, and accepting it would poison the
+    constant-velocity guess (the fused path gates identically,
+    models/odometry_fused.py). Matches the reference's keep-last on
+    non-convergence (scan_matching_odometry_component.cpp:270-273)."""
+    cfg, pre = make_cfgs()
+    odom = ScanMatchingOdometry(cfg)
+    scan = world.scan(np.asarray([0, 0, 0, 1, 0, 0, 0], np.float32), seed=7)
+    pc = prefilter(PointCloud.from_array(scan, capacity=4096), pre)
+    out0 = odom.step(pc, stamp=0.0)
+    out1 = odom.step(pc, stamp=0.1)  # same scan: pose holds trivially
+    # a far-away cluster: every point >> reg_max_correspondence_distance
+    # from the keyframe cloud
+    rng = np.random.default_rng(0)
+    far = (rng.uniform(-1, 1, (512, 3)) + [[1e4, 1e4, 0.0]]).astype(np.float32)
+    pc_far = PointCloud.from_array(far, capacity=4096)
+    out2 = odom.step(pc_far, stamp=0.2)
+    assert not out2.status.has_converged
+    np.testing.assert_allclose(out2.pose, out1.pose, atol=1e-6)
