@@ -98,11 +98,21 @@ def classify(from_idx: np.ndarray, to_idx: np.ndarray, mask: np.ndarray,
 
 
 def _sym_sqrt(W: jnp.ndarray) -> jnp.ndarray:
-    """Batched symmetric PSD square root via eigh (robust to rank
-    deficiency, e.g. XY priors with zero z-information)."""
-    w, V = jnp.linalg.eigh(W)
-    s = jnp.sqrt(jnp.maximum(w, 0.0))
-    return jnp.einsum("...ij,...j,...kj->...ik", V, s, V)
+    """Batched factor G with G Gᵀ = W (+ tiny ridge), via Cholesky.
+
+    The Woodbury correction only needs ANY factorization of the edge's
+    effective information, not the symmetric sqrt. NOT eigh/svd: a
+    vmapped small eigh takes >10 min to COMPILE on the remote TPU (same
+    Mosaic pathology as graph/chordal.py documents for svd; observed
+    again here — the probe hung >25 min until this was Cholesky-ified).
+    The ridge (1e-12 absolute + 1e-7 relative) keeps rank-deficient W
+    (e.g. XY priors with zero z-information, zero-masked padding slots)
+    factorizable; the resulting ~1e-7 relative error in U Uᵀ is absorbed
+    by chain_delta's iterative-refinement pass against the true H."""
+    d = W.shape[-1]
+    tr = jnp.trace(W, axis1=-2, axis2=-1)[..., None, None]
+    eye = jnp.eye(d, dtype=W.dtype)
+    return jnp.linalg.cholesky(W + (1e-12 + 1e-7 * tr / d) * eye)
 
 
 class ChainFactors(NamedTuple):

@@ -18,6 +18,66 @@ from ..ops.cloud import PointCloud
 
 
 @dataclasses.dataclass
+class QuantizedCloud:
+    """Wire form of a keyframe cloud: valid points only, uint16 offsets
+    from the cloud's min corner at `scale` meters per step.
+
+    The reference ships full float clouds per keyframe and they dominate
+    exchange bytes (mrg_slam_component.cpp:631-637). 4 mm quantization is
+    an order of magnitude below the working voxel sizes (0.1-0.3 m) and
+    GICP correspondence radii, so registration against a dequantized cloud
+    is ATE-neutral (tests/test_multiprocess.py) at ~4x fewer bytes
+    (12 B/point f32 + pad rows -> 6 B/point valid-only)."""
+
+    offsets: np.ndarray   # (n, 3) uint16
+    origin: np.ndarray    # (3,) f32 min corner
+    scale: float          # meters per quantization step
+    capacity: int         # original padded capacity
+
+    @property
+    def nbytes(self) -> int:
+        return int(self.offsets.nbytes + 16)
+
+
+def quantize_cloud(cloud: PointCloud, scale: float = 1.0 / 256.0
+                   ) -> QuantizedCloud:
+    pts = np.asarray(cloud.points)
+    mask = np.asarray(cloud.mask)
+    valid = pts[mask]
+    origin = (valid.min(axis=0) if len(valid)
+              else np.zeros(3)).astype(np.float32)
+    q = np.clip(np.round((valid - origin) / scale), 0, 65535).astype(
+        np.uint16)
+    return QuantizedCloud(offsets=q, origin=origin, scale=scale,
+                          capacity=cloud.capacity)
+
+
+def dequantize_cloud(qc: QuantizedCloud) -> PointCloud:
+    pts = qc.origin[None, :] + qc.offsets.astype(np.float32) * qc.scale
+    return PointCloud.from_array(pts, capacity=qc.capacity)
+
+
+def quantize_graph_msg(msg: "GraphMsg") -> "GraphMsg":
+    """GraphMsg with clouds in wire form (applied by socket transports;
+    in-process exchange stays zero-copy)."""
+    kfs = [dataclasses.replace(
+        k, cloud=(k.cloud if isinstance(k.cloud, QuantizedCloud)
+                  else quantize_cloud(k.cloud)),
+        estimate=np.asarray(k.estimate)) for k in msg.keyframes]
+    out = dataclasses.replace(msg, keyframes=kfs)
+    out.wire_nbytes = dataclasses.replace(out, wire_nbytes=0).nbytes()
+    return out
+
+
+def dequantize_graph_msg(msg: "GraphMsg") -> "GraphMsg":
+    kfs = [dataclasses.replace(
+        k, cloud=(dequantize_cloud(k.cloud)
+                  if isinstance(k.cloud, QuantizedCloud) else k.cloud))
+        for k in msg.keyframes]
+    return dataclasses.replace(msg, keyframes=kfs)
+
+
+@dataclasses.dataclass
 class KeyFrameMsg:
     robot_name: str
     uuid: str
@@ -48,6 +108,9 @@ class GraphMsg:
     latest_keyframe_odom: np.ndarray
     keyframes: List[KeyFrameMsg]
     edges: List[EdgeMsg]
+    # actual bytes that crossed the wire (set by quantize_graph_msg,
+    # preserved through dequantize) — 0 for in-process zero-copy exchange
+    wire_nbytes: int = 0
 
     def nbytes(self) -> int:
         """Payload accounting (mrg_slam_component.cpp:631-637).
@@ -56,10 +119,15 @@ class GraphMsg:
         jax arrays) — `np.asarray(...)` here was a full ~26 ms tunnel fetch
         PER KEYFRAME CLOUD on sender and receiver, and was the single
         largest term in the two-robot tick (4.2 s of an 8.1 s run)."""
+        if self.wire_nbytes:
+            return self.wire_nbytes
         total = 0
         for k in self.keyframes:
-            total += int(k.cloud.points.nbytes + k.cloud.mask.nbytes
-                         + 7 * 4 + 64)
+            if isinstance(k.cloud, QuantizedCloud):
+                total += k.cloud.nbytes + 7 * 4 + 64
+            else:
+                total += int(k.cloud.points.nbytes + k.cloud.mask.nbytes
+                             + 7 * 4 + 64)
         total += len(self.edges) * (7 * 4 + 36 * 4 + 48)
         return total
 

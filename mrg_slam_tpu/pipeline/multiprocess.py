@@ -1,0 +1,317 @@
+"""Process-isolated multi-robot deployment: one OS process per robot,
+delta-graph exchange over real TCP.
+
+The reference's deployment topology: one SLAM process per robot
+(launch/mrg_slam.launch.py:212-221; kitti_multirobot_processor.py:85-117
+spawns them via subprocess), peers exchanging delta graphs through the
+PublishGraph service over DDS with a 20 s timeout
+(apps/mrg_slam_component.cpp:617-625). Here each robot process runs the
+full stack (pipeline/replay.Robot on CPU jax — one chip cannot be shared
+by two processes; co-hosted robots on a chip use models/coordinator.py
+instead) and serves three endpoints over parallel/channel.SocketServer:
+
+- "publish_graph": delta-graph request/response. Responses ship clouds in
+  QuantIZED wire form (uint16 voxel offsets + scale,
+  parallel/messages.quantize_cloud) — ~4x fewer bytes than the
+  reference's full-float clouds; dequantized on receipt.
+- "odom" / "slam_pose": one-way PoseWithName broadcasts, enqueued and
+  drained by the receiving robot's main loop (all MrgSlam mutation stays
+  on one thread; the reference takes main_thread_mutex for the same
+  races, mrg_slam_component.cpp:1369-1425).
+
+A robot-level lock serializes the optimization tick against concurrent
+publish_graph service reads. Outbound requests never hold the lock, so
+two robots requesting each other's graphs simultaneously cannot deadlock
+(the reference relies on its async service call + timeout for the same).
+
+CLI:
+    python -m mrg_slam_tpu.pipeline.multiprocess --robots 2 --frames 80 \
+        --out /tmp/mp_run
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import pickle
+import sys
+import threading
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+def _worker_main(arg_blob: bytes) -> None:
+    """Robot subprocess entry (spawned with its pickled job dict — a plain
+    dict, not the dataclass, so `python -m` parents pickle classes that
+    resolve in the worker)."""
+    import types
+
+    job = types.SimpleNamespace(**pickle.loads(arg_blob))
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from ..utils.hostcache import cpu_cache_dir
+
+    jax.config.update("jax_compilation_cache_dir", cpu_cache_dir(
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", ".jax_cache")))
+
+    from ..parallel.channel import SocketClient, SocketServer
+    from ..parallel.messages import (dequantize_graph_msg,
+                                     quantize_graph_msg)
+    from ..utils.tum import save_tum
+    from .replay import Robot
+
+    robot = Robot(job.cfg)
+    slam = robot.slam
+    lock = threading.Lock()           # tick vs publish_graph service
+    inbox: List[Tuple[str, object]] = []
+    inbox_lock = threading.Lock()
+
+    server = SocketServer(port=job.port)
+
+    def publish_graph(req):
+        with lock:
+            msg = slam.handle_publish_graph(req)
+        wire = quantize_graph_msg(msg)
+        if slam.sent_graph_bytes:
+            # account what actually crosses the wire, not the float form
+            slam.sent_graph_bytes[-1] = wire.nbytes()
+        return wire
+
+    def enqueue(kind):
+        def handler(msg):
+            with inbox_lock:
+                inbox.append((kind, msg))
+        return handler
+
+    server.advertise("publish_graph", publish_graph)
+    server.advertise("odom", enqueue("odom"))
+    server.advertise("slam_pose", enqueue("slam_pose"))
+
+    # handshake: report our bound port, wait for peer addresses
+    with open(job.handshake_path, "w") as f:
+        json.dump({"name": job.name, "address": list(server.address)}, f)
+    peers: Dict[str, SocketClient] = {}
+    deadline = time.time() + 30.0
+    peer_names = [n for n in job.all_names if n != job.name]
+    while time.time() < deadline and len(peers) < len(peer_names):
+        for name in peer_names:
+            if name in peers:
+                continue
+            path = os.path.join(job.out_dir, f"{name}.addr")
+            if os.path.exists(path):
+                try:
+                    with open(path) as f:
+                        addr = json.load(f)["address"]
+                    peers[name] = SocketClient(addr, timeout=20.0)
+                except (json.JSONDecodeError, OSError):
+                    pass
+        time.sleep(0.05)
+    assert len(peers) == len(peer_names), f"peers missing: {peers.keys()}"
+
+    def request_fn(peer_name: str, req):
+        graph = peers[peer_name].call("publish_graph", req)
+        return dequantize_graph_msg(graph) if graph is not None else None
+
+    def drain(now: float) -> None:
+        with inbox_lock:
+            msgs, inbox[:] = list(inbox), []
+        for kind, msg in msgs:
+            if kind == "odom":
+                slam.on_odom_broadcast(msg)
+            else:
+                slam.on_slam_pose_broadcast(msg, now=now,
+                                            request_fn=request_fn)
+
+    # deterministic frame source: regenerate the shared world from seed
+    from ..io.synthetic import SyntheticWorld, circle_trajectory
+
+    world = SyntheticWorld.build(seed=job.world_seed, extent=30.0,
+                                 n_ground=25000, max_points_per_scan=8192,
+                                 noise=0.02)
+    traj = circle_trajectory(job.total_frames, radius=12.0, laps=1.1)
+    lo, hi = job.window
+    t_run = time.perf_counter()
+    for i in range(lo, hi):
+        stamp = i * 0.1
+        _, bc = robot.step(stamp, world.scan(traj[i], seed=i))
+        if bc is not None:
+            for c in peers.values():
+                c.call("odom", bc)
+        if (i - lo + 1) % job.tick_every == 0:
+            drain(stamp)
+            with lock:
+                slam.optimization_tick(now=stamp)
+            sp = slam.slam_pose_broadcast(stamp)
+            if sp is not None:
+                for c in peers.values():
+                    c.call("slam_pose", sp)
+    # settle: let late broadcasts arrive, final exchange + tick
+    time.sleep(0.3)
+    drain(hi * 0.1)
+    with lock:
+        slam.optimization_tick(now=hi * 0.1)
+    wall = time.perf_counter() - t_run
+
+    own = sorted(slam.db.own_keyframes(), key=lambda k: k.stamp)
+    est = (np.stack([k.estimate(slam.db.graph) for k in own])
+           if own else np.zeros((0, 7), np.float32))
+    gt = traj[[int(round(k.stamp / 0.1)) for k in own]]
+    from ..utils.metrics import ate_rmse
+
+    result = {
+        "name": job.name,
+        "frames": hi - lo,
+        "wall_s": wall,
+        "keyframes": len(own),
+        "remote_keyframes": sum(
+            1 for k in slam.db.keyframes + slam.db.new_keyframes
+            if k.robot_name != job.name),
+        "loops": sum(1 for e in slam.db.edges if e.type == "loop"),
+        "received_bytes": sum(slam.received_graph_bytes),
+        "sent_bytes": sum(slam.sent_graph_bytes),
+        "ate_m": float(ate_rmse(est[:, :3], np.asarray(gt)[:, :3]))
+        if len(own) else None,
+    }
+    save_tum(os.path.join(job.out_dir, f"{job.name}.tum"),
+             np.asarray([k.stamp for k in own]), est)
+    with open(os.path.join(job.out_dir, f"{job.name}.result.json"),
+              "w") as f:
+        json.dump(result, f, indent=1)
+    server.close()
+    for c in peers.values():
+        c.close()
+
+
+@dataclasses.dataclass
+class RobotJob:
+    name: str
+    all_names: List[str]
+    window: Tuple[int, int]
+    total_frames: int
+    world_seed: int
+    tick_every: int
+    port: int
+    out_dir: str
+    handshake_path: str
+    cfg: object  # EngineConfig
+
+
+def _default_cfg(name: str, names, init_pose) -> object:
+    import dataclasses as dc
+
+    from ..config import (EngineConfig, LoopClosureConfig, OptimizerConfig,
+                          PrefilterConfig, RegistrationConfig, SlamConfig,
+                          ScanMatchingOdometryConfig)
+
+    reg = RegistrationConfig(reg_transformation_epsilon=1e-3,
+                             reg_maximum_iterations=32,
+                             reg_correspondence_randomness=10)
+    return EngineConfig(
+        prefilter=PrefilterConfig(downsample_resolution=0.4,
+                                  capacity_raw_points=8192,
+                                  capacity_filtered_points=1024,
+                                  outlier_removal_method="NONE"),
+        odometry=ScanMatchingOdometryConfig(keyframe_delta_translation=2.0,
+                                            registration=reg),
+        slam=SlamConfig(own_name=name, multi_robot_names=tuple(names),
+                        keyframe_delta_trans=2.0, capacity_keyframes=128,
+                        capacity_edges=512, capacity_keyframe_points=1024,
+                        registration=reg, init_pose=init_pose,
+                        optimizer=OptimizerConfig(solver_backend="dense",
+                                                  g2o_solver_num_iterations=64),
+                        loop=dc.replace(LoopClosureConfig(),
+                                        capacity_candidates=4),
+                        robot_remove_points_radius=0.0))
+
+
+def run_multiprocess(n_robots: int = 2, total_frames: int = 80,
+                     tick_every: int = 15, world_seed: int = 11,
+                     out_dir: str = "/tmp/mrg_slam_mp",
+                     timeout_s: float = 600.0) -> Dict[str, dict]:
+    """Spawn one robot process per overlapping trajectory window, wait,
+    return the per-robot result dicts (kitti_multirobot_processor.py's
+    subprocess topology without ROS)."""
+    import subprocess
+
+    from ..io.synthetic import circle_trajectory
+
+    os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(out_dir):
+        if f.endswith((".addr", ".result.json", ".tum")):
+            os.remove(os.path.join(out_dir, f))
+    names = ["alpha", "bravo", "charlie", "delta"][:n_robots]
+    span = total_frames * 2 // (n_robots + 1)
+    step = (total_frames - span) // max(n_robots - 1, 1)
+    windows = [(i * step, min(i * step + span, total_frames))
+               for i in range(n_robots)]
+    traj = circle_trajectory(total_frames, radius=12.0, laps=1.1)
+
+    procs = []
+    for name, window in zip(names, windows):
+        p0 = traj[window[0]]
+        yaw = 2.0 * float(np.arctan2(p0[6], p0[3]))
+        job = dataclasses.asdict(RobotJob(
+            name=name, all_names=names, window=window,
+            total_frames=total_frames, world_seed=world_seed,
+            tick_every=tick_every, port=0, out_dir=out_dir,
+            handshake_path=os.path.join(out_dir, f"{name}.addr"),
+            cfg=None))
+        job["cfg"] = _default_cfg(name, names,
+                                  (float(p0[0]), float(p0[1]), float(p0[2]),
+                                   yaw, 0.0, 0.0))
+        blob = pickle.dumps(job)
+        code = ("import sys; from mrg_slam_tpu.pipeline.multiprocess "
+                "import _worker_main; _worker_main(sys.stdin.buffer.read())")
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        logf = open(os.path.join(out_dir, f"{name}.log"), "w")
+        proc = subprocess.Popen([sys.executable, "-c", code],
+                                stdin=subprocess.PIPE, stdout=logf,
+                                stderr=subprocess.STDOUT, env=env)
+        proc.stdin.write(blob)
+        proc.stdin.close()
+        procs.append((name, proc))
+
+    deadline = time.time() + timeout_s
+    results: Dict[str, dict] = {}
+    try:
+        for name, proc in procs:
+            rc = proc.wait(timeout=max(deadline - time.time(), 1.0))
+            assert rc == 0, f"robot {name} exited {rc}"
+    finally:
+        for _, proc in procs:   # exact PIDs we spawned, never patterns
+            if proc.poll() is None:
+                proc.kill()
+    for name in names:
+        with open(os.path.join(out_dir, f"{name}.result.json")) as f:
+            results[name] = json.load(f)
+    return results
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--robots", type=int, default=2)
+    ap.add_argument("--frames", type=int, default=80)
+    ap.add_argument("--tick-every", type=int, default=15)
+    ap.add_argument("--out", default="/tmp/mrg_slam_mp")
+    args = ap.parse_args(argv)
+    results = run_multiprocess(n_robots=args.robots,
+                               total_frames=args.frames,
+                               tick_every=args.tick_every,
+                               out_dir=args.out)
+    for name, r in results.items():
+        print(f"{name}: {r['frames']} frames, {r['keyframes']} keyframes "
+              f"(+{r['remote_keyframes']} remote), {r['loops']} loops, "
+              f"ATE {r['ate_m']:.3f} m, rx {r['received_bytes'] / 1e3:.0f} kB"
+              f" / tx {r['sent_bytes'] / 1e3:.0f} kB, {r['wall_s']:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
