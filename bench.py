@@ -1,23 +1,34 @@
-"""Benchmark: FULL graph SLAM frames/s on one TPU chip.
+"""Benchmark: FULL graph SLAM frames/s on one TPU chip, at production scale.
 
-Runs the complete production pipeline — batched prefiltering (voxel
-downsample + radius outlier removal), fully device-resident fused odometry
-(models/odometry_fused.py), and the batched back-end tick (keyframe
-admission, loop-closure candidate matching + consistency check + edge
-fitness in one `align_pairs` dispatch, then the jitted LM pose-graph
-solve) — over synthetic LiDAR scans at production sizes, with loop
-closures actually firing, and reports sustained end-to-end frames/s.
+Flagship run — the complete pipeline (batched prefiltering of 131k-point
+raw scans, device-resident fused GICP odometry at 8192 working points, the
+batched back-end tick: keyframe admission, loop-closure matching +
+consistency check + edge fitness in shared `align_pairs` dispatches, jitted
+LM solves) over a 512-frame multi-lap trajectory producing ~300 keyframes.
+The keyframe/edge stores START undersized and double twice mid-run, so the
+store-growth recompile cost (graph/builder.py _NpTable.grow) is part of the
+measured deployment envelope, exactly like the reference's unbounded g2o
+graph (mrg_slam.yaml:162, velodyne 10 Hz).
 
-The reference publishes no numbers (BASELINE.md); it runs its whole stack
-live against a 10 Hz LiDAR (optimization timer alongside streaming scans,
-apps/mrg_slam_component.cpp:802). vs_baseline = frames_per_s / 10 — how
-many times faster than the sensor the full stack runs.
+Secondary sections:
+- multi-robot co-hosting: 2/3/4 robots on one chip with odom + slam-pose
+  broadcasts, delta-graph exchange and shared-tick batching
+  (models/coordinator.py), at the round-2 workload for comparability.
+- pose-graph solver: 1024-node ring+loops through the dense backend and
+  the chain backend (segmented tridiagonal + Woodbury) with chi2 parity,
+  and an 8192-node solve that only the chain backend can run on-chip
+  (graph/chain_solver.py; the reference's cholmod envelope,
+  graph_slam.cpp:28-30).
+
+The reference publishes no numbers (BASELINE.md); it runs live against a
+10 Hz LiDAR (apps/mrg_slam_component.cpp:802). vs_baseline =
+frames_per_s / 10 — how many times faster than the sensor the full stack
+runs at production scan sizes.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
-extra carries the front-end-only odometry rate (round-1 headline metric)
-and a 1024-node pose-graph solve wall time.
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -30,51 +41,55 @@ os.environ.setdefault(
 
 import numpy as np
 
-RAW = 32768        # raw scan points fed per frame
-FILTERED = 4096    # prefiltered cloud capacity (working size)
-N_FRAMES = 120
-BLOCK = 20         # frames per device dispatch (~ graph_update_interval)
+# ---- production scale (flagship) ----
+RAW = 131072       # raw scan points per frame (~KITTI 64-beam density)
+FILTERED = 8192    # prefiltered working capacity
+N_FRAMES = 512
+BLOCK = 32         # frames per device dispatch (~3 s graph_update_interval)
+
+# ---- multi-robot scale (round-2-comparable workload) ----
+MR_RAW = 32768
+MR_FILTERED = 4096
+MR_FRAMES = 120
+MR_BLOCK = 20
 
 
-def build_world_and_scans():
+def log(msg):
+    print(msg, file=sys.stderr)
+
+
+def build_world_and_scans(raw=MR_RAW, n_frames=MR_FRAMES, extent=45.0,
+                          n_ground=120000, n_pillars=60, n_walls=20,
+                          radius=15.0, laps=1.25, seed=7):
     from mrg_slam_tpu.io.synthetic import SyntheticWorld, circle_trajectory
 
-    world = SyntheticWorld.build(seed=7, extent=45.0, n_ground=120000,
-                                 n_pillars=60, n_walls=20,
-                                 max_points_per_scan=RAW, noise=0.02)
-    traj = circle_trajectory(N_FRAMES, radius=15.0, laps=1.25)
+    world = SyntheticWorld.build(seed=seed, extent=extent, n_ground=n_ground,
+                                 n_pillars=n_pillars, n_walls=n_walls,
+                                 max_points_per_scan=raw, noise=0.02)
+    traj = circle_trajectory(n_frames, radius=radius, laps=laps)
     scans = [world.scan(p, seed=i) for i, p in enumerate(traj)]
     return traj, scans
 
 
-def stack_scans(scans):
-    raw = np.full((len(scans), RAW, 3), 1.0e6, np.float32)
-    rmask = np.zeros((len(scans), RAW), bool)
+def stack_scans(scans, raw):
+    out = np.full((len(scans), raw, 3), 1.0e6, np.float32)
+    rmask = np.zeros((len(scans), raw), bool)
     for i, s in enumerate(scans):
-        n = min(len(s), RAW)
-        raw[i, :n] = s[:n]
+        n = min(len(s), raw)
+        out[i, :n] = s[:n]
         rmask[i, :n] = True
-    return raw, rmask
+    return out, rmask
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
+def make_configs(raw, filtered, keyframe_delta=2.0, capacity_keyframes=128,
+                 capacity_edges=512):
     from mrg_slam_tpu.config import (LoopClosureConfig, OptimizerConfig,
                                      PrefilterConfig, RegistrationConfig,
                                      ScanMatchingOdometryConfig, SlamConfig)
-    from mrg_slam_tpu.models import odometry_fused as fused
-    from mrg_slam_tpu.models.backend import MrgSlam
-    from mrg_slam_tpu.ops.cloud import PointCloud
-    from mrg_slam_tpu.ops.prefilter import prefilter
-
-    dev = jax.devices()[0]
-    print(f"# device: {dev}", file=sys.stderr)
 
     pre_cfg = PrefilterConfig(downsample_resolution=0.3,
-                              capacity_raw_points=RAW,
-                              capacity_filtered_points=FILTERED,
+                              capacity_raw_points=raw,
+                              capacity_filtered_points=filtered,
                               outlier_removal_method="RADIUS",
                               radius_radius=0.5, radius_min_neighbors=2)
     reg = RegistrationConfig(
@@ -91,29 +106,59 @@ def main():
                                          enable_transform_thresholding=True,
                                          max_acceptable_translation=2.5,
                                          max_acceptable_angle=0.5)
-    import dataclasses
     slam_cfg = SlamConfig(
         own_name="bench", multi_robot_names=("bench",),
-        keyframe_delta_trans=2.0,
-        capacity_keyframes=128, capacity_edges=512,
-        capacity_keyframe_points=FILTERED,
+        keyframe_delta_trans=keyframe_delta,
+        capacity_keyframes=capacity_keyframes, capacity_edges=capacity_edges,
+        capacity_keyframe_points=filtered,
         registration=dataclasses.replace(reg, reg_maximum_iterations=24),
         optimizer=OptimizerConfig(solver_backend="dense",
                                   g2o_solver_num_iterations=64),
-        # fitness_score_max_range gates the acceptance fitness to the
-        # correspondence radius. Measured on this workload (BENCH r2 debug):
-        # at the reference default inf, capacity-truncated 4096-pt voxel
-        # subsets inflate the ungated mean-NN fitness and 0/13 candidate
-        # sets pass; at 2.0 m, 8 loops close and SLAM ATE drops 2.19 m ->
-        # 0.53 m vs odometry. The reference exposes the param for exactly
-        # this gating (loop_detector.cpp:156).
+        # fitness_score_max_range gates acceptance fitness to the
+        # correspondence radius: capacity-truncated voxel subsets inflate
+        # the ungated mean-NN fitness (measured r2: 0/13 candidate sets
+        # passed at inf; 8 loops close at 2.0 m). The reference exposes the
+        # param for exactly this gating (loop_detector.cpp:156).
         loop=dataclasses.replace(LoopClosureConfig(), capacity_candidates=4,
                                  fitness_score_max_range=2.0),
         robot_remove_points_radius=0.0)
+    return pre_cfg, odo_cfg, slam_cfg
 
-    traj, scans = build_world_and_scans()
-    raw, rmask = stack_scans(scans)
+
+# ---------------------------------------------------------------------------
+# flagship: production-scale single-robot full SLAM
+# ---------------------------------------------------------------------------
+
+def run_production():
+    import jax
+    import jax.numpy as jnp
+
+    from mrg_slam_tpu.models import odometry_fused as fused
+    from mrg_slam_tpu.models.backend import MrgSlam
+    from mrg_slam_tpu.ops.cloud import PointCloud
+    from mrg_slam_tpu.ops.prefilter import prefilter
+    from mrg_slam_tpu.utils.metrics import ate_rmse
+
+    t0 = time.perf_counter()
+    traj, scans = build_world_and_scans(
+        raw=RAW, n_frames=N_FRAMES, extent=60.0, n_ground=400000,
+        n_pillars=150, n_walls=40, radius=20.0, laps=3.02, seed=11)
+    raw, rmask = stack_scans(scans, RAW)
+    del scans
+    log(f"# production world: {N_FRAMES} frames x "
+        f"{int(rmask.sum(1).mean())} pts avg, generated in "
+        f"{time.perf_counter() - t0:.1f}s")
+    # keyframe_delta 1.2 m over ~380 m of trajectory -> ~300 keyframes;
+    # stores start at 128 kf / 512 edges and double twice mid-run
+    pre_cfg, odo_cfg, slam_cfg = make_configs(
+        RAW, FILTERED, keyframe_delta=1.2,
+        capacity_keyframes=128, capacity_edges=512)
+
+    t0 = time.perf_counter()
     raw_d, rmask_d = jnp.asarray(raw), jnp.asarray(rmask)
+    jax.block_until_ready(raw_d)
+    log(f"# host->device transfer {raw.nbytes / 1e6:.0f} MB in "
+        f"{time.perf_counter() - t0:.1f}s")
     stamps = jnp.arange(N_FRAMES, dtype=jnp.float32) * 0.1
 
     @jax.jit
@@ -122,14 +167,10 @@ def main():
                        )(pts, masks)
         return out.points, out.mask
 
-    def run_full_slam():
-        # serial ticks: on one chip the device is the bottleneck, so
-        # running the tick on a worker thread (optimization_tick_async)
-        # only lets keyframes pile up into bigger candidate batches whose
-        # vmapped while_loop pays the slowest pair's iteration count —
-        # measured 2x SLOWER than ticking synchronously every block.
+    def run_full_slam(record_growth=False):
         slam = MrgSlam(slam_cfg)
         carry = fused.init_carry(FILTERED)
+        growth = []
         for s in range(0, N_FRAMES, BLOCK):
             fpts, fmask = prefilter_batch(raw_d[s:s + BLOCK],
                                           rmask_d[s:s + BLOCK])
@@ -139,43 +180,45 @@ def main():
             for i in range(poses.shape[0]):
                 slam.process_scan((s + i) * 0.1, poses[i],
                                   PointCloud(fpts[i], fmask[i]))
+            cap0 = slam.db.graph.cap
+            t1 = time.perf_counter()
             slam.optimization_tick(now=(s + BLOCK) * 0.1)
-        return slam
+            wall = time.perf_counter() - t1
+            cap1 = slam.db.graph.cap
+            if record_growth and cap1 != cap0:
+                growth.append((s // BLOCK, round(wall, 2),
+                               cap1["nodes"], cap1["edges"]))
+        return slam, growth
 
-    # warmup / compile (touches every program incl. tick + solve)
     t0 = time.perf_counter()
-    slam = run_full_slam()
-    print(f"# warmup(+compile) {time.perf_counter() - t0:.1f}s",
-          file=sys.stderr)
+    slam, growth = run_full_slam(record_growth=True)
+    log(f"# warmup(+compile) {time.perf_counter() - t0:.1f}s; store-growth "
+        f"recompile ticks (tick, wall_s, node_cap, edge_cap): {growth}")
 
     t0 = time.perf_counter()
-    slam = run_full_slam()
+    slam, _ = run_full_slam()
     dt_slam = time.perf_counter() - t0
     fps_slam = N_FRAMES / dt_slam
 
     n_kf = len(slam.db.keyframes) + len(slam.db.new_keyframes)
     n_loops = sum(1 for e in slam.db.edges if e.type == "loop")
-    from mrg_slam_tpu.utils.metrics import ate_rmse
     te = slam.trajectory()
     own = sorted(slam.db.own_keyframes(), key=lambda k: k.stamp)
     idx = [int(round(k.stamp / 0.1)) for k in own]
     ate = ate_rmse(te[:, :3], traj[idx][:, :3])
     odo = np.stack([k.odom for k in own])
     ate_odom = ate_rmse(odo[:, :3], traj[idx][:, :3])
-    print(f"# full SLAM: {N_FRAMES} frames in {dt_slam:.3f}s "
-          f"({fps_slam:.1f} fps); {n_kf} keyframes, {n_loops} loops, "
-          f"ATE {ate:.3f} m (odometry-only {ate_odom:.3f} m)",
-          file=sys.stderr)
+    log(f"# production full SLAM: {N_FRAMES} frames in {dt_slam:.3f}s "
+        f"({fps_slam:.1f} fps); {n_kf} keyframes, {n_loops} loops, "
+        f"ATE {ate:.3f} m (odometry-only {ate_odom:.3f} m)")
     ticks = slam.tick_stats
-    if ticks:
-        lc = sum(t.loop_closure_us for t in ticks) / len(ticks) / 1e3
-        op = sum(t.optimization_us for t in ticks) / len(ticks) / 1e3
-        it = sum(t.iterations for t in ticks) / len(ticks)
-        print(f"# tick breakdown ({len(ticks)} ticks): loop-closure "
-              f"{lc:.0f} ms, optimize {op:.0f} ms ({it:.0f} LM iters) avg",
-              file=sys.stderr)
+    lc = sum(t.loop_closure_us for t in ticks) / max(len(ticks), 1) / 1e3
+    op = sum(t.optimization_us for t in ticks) / max(len(ticks), 1) / 1e3
+    it = sum(t.iterations for t in ticks) / max(len(ticks), 1)
+    log(f"# tick breakdown ({len(ticks)} ticks): loop-closure {lc:.0f} ms, "
+        f"optimize {op:.0f} ms ({it:.0f} LM iters) avg")
 
-    # front-end-only odometry rate (round-1 headline, for continuity)
+    # front-end-only odometry rate at production scan sizes
     carry = fused.init_carry(FILTERED)
     t0 = time.perf_counter()
     last = None
@@ -187,71 +230,112 @@ def main():
         last = outs.pose
     jax.block_until_ready(last)
     fps_odom = N_FRAMES / (time.perf_counter() - t0)
+    log(f"# production odometry-only: {fps_odom:.1f} fps")
 
-    # two-robot full SLAM: overlapping circle windows, odom + slam-pose
-    # broadcasts, on-demand delta-graph exchange (PublishGraph service),
-    # joint optimization with inter-robot loop closures — the reference's
-    # headline multi-robot deployment (apps/mrg_slam_component.cpp:517-683)
-    # measured end-to-end on the chip. Robots BATCH on the chip: full
-    # frame blocks run both odometry chains in one vmapped dispatch
-    # (odometry_fused.run_batch_multi), and the back-end ticks share one
-    # dispatch chain (models/coordinator.py SharedTick) — R robots pay the
-    # device cost of one.
+    return dict(fps=fps_slam, odom_fps=fps_odom, keyframes=n_kf,
+                loops=n_loops, ate=ate, ate_odom=ate_odom,
+                loop_ms=lc, opt_ms=op,
+                growth=growth)
+
+
+# ---------------------------------------------------------------------------
+# multi-robot co-hosting: R robots share the chip's dispatches
+# ---------------------------------------------------------------------------
+
+def run_multirobot_scaling():
+    """2/3/4 co-hosted robots at the round-2 workload: overlapping circle
+    windows, odom + slam-pose broadcasts, on-demand delta-graph exchange
+    (PublishGraph), joint optimization with inter-robot loop closures —
+    the reference's headline deployment (apps/mrg_slam_component.cpp:
+    517-683). Robots batch on the chip: one vmapped odometry dispatch for
+    all R chains (odometry_fused.run_batch_multi), one SharedTick dispatch
+    chain for all R back-ends."""
+    import jax
+    import jax.numpy as jnp
+
+    from mrg_slam_tpu.models import odometry_fused as fused
+    from mrg_slam_tpu.models.backend import MrgSlam
+    from mrg_slam_tpu.models.coordinator import SharedTick
+    from mrg_slam_tpu.ops.cloud import PointCloud
+    from mrg_slam_tpu.ops.prefilter import prefilter
+    from mrg_slam_tpu.utils.metrics import ate_rmse
+
+    traj, scans = build_world_and_scans()
+    raw, rmask = stack_scans(scans, MR_RAW)
+    raw_d, rmask_d = jnp.asarray(raw), jnp.asarray(rmask)
+    stamps = jnp.arange(MR_FRAMES, dtype=jnp.float32) * 0.1
+    pre_cfg, odo_cfg, slam_cfg = make_configs(MR_RAW, MR_FILTERED)
+
+    @jax.jit
+    def prefilter_batch(pts, masks):
+        out = jax.vmap(lambda p, m: prefilter(PointCloud(p, m), pre_cfg)
+                       )(pts, masks)
+        return out.points, out.mask
+
     def init_pose_of(p):
         yaw = 2.0 * np.arctan2(p[6], p[3])
         return (float(p[0]), float(p[1]), float(p[2]), float(yaw), 0.0, 0.0)
 
-    from mrg_slam_tpu.models.coordinator import SharedTick
+    def windows_for(R):
+        """R overlapping windows covering the lap (R=2 matches the r02
+        bench: (0, 72) / (54, 120) at 120 frames)."""
+        names = ["alpha", "bravo", "charlie", "delta"][:R]
+        if R == 2:
+            w = [(0, int(0.6 * MR_FRAMES)),
+                 (int(0.45 * MR_FRAMES), MR_FRAMES)]
+        else:
+            span = MR_FRAMES // 2
+            step = (MR_FRAMES - span) // (R - 1)
+            w = [(i * step, min(i * step + span, MR_FRAMES))
+                 for i in range(R)]
+        return dict(zip(names, w))
 
-    windows = {"alpha": (0, 72), "bravo": (54, 120)}
-    names = list(windows)
-    def run_multirobot():
-        slams, peers = {}, {}
+    def run(R):
+        windows = windows_for(R)
+        names = list(windows)
+        slams = {}
         for name, (lo, _) in windows.items():
             cfg_r = dataclasses.replace(
-                slam_cfg, own_name=name,
-                multi_robot_names=("alpha", "bravo"),
+                slam_cfg, own_name=name, multi_robot_names=tuple(names),
                 init_pose=init_pose_of(np.asarray(traj[lo])))
             slams[name] = MrgSlam(cfg_r)
-        peers["alpha"], peers["bravo"] = slams["bravo"], slams["alpha"]
         ticker = SharedTick([slams[n] for n in names])
-        carries = jax.tree.map(lambda *x: jnp.stack(x),
-                               *[fused.init_carry(FILTERED) for _ in names])
+        carries = jax.tree.map(
+            lambda *x: jnp.stack(x),
+            *[fused.init_carry(MR_FILTERED) for _ in names])
 
-        def request_fn_for(requester):
-            return lambda peer, req: peers[requester].handle_publish_graph(req)
+        def request_fn(peer_name, req):
+            return slams[peer_name].handle_publish_graph(req)
 
-        def ingest(name, s, fpts, fmask):
+        def ingest(name, s, fpts, fmask, poses):
             slam = slams[name]
-            poses = np.asarray(fused_outs[name])
             for i in range(poses.shape[0]):
                 bc = slam.process_scan((s + i) * 0.1, poses[i],
                                        PointCloud(fpts[i], fmask[i]))
-                peers[name].on_odom_broadcast(bc)
+                for other in names:
+                    if other != name:
+                        slams[other].on_odom_broadcast(bc)
 
         n_local = max(hi - lo for lo, hi in windows.values())
-        for s in range(0, n_local, BLOCK):
+        for s in range(0, n_local, MR_BLOCK):
             spans = {n: (windows[n][0] + s,
-                         min(windows[n][0] + s + BLOCK, windows[n][1]))
+                         min(windows[n][0] + s + MR_BLOCK, windows[n][1]))
                      for n in names if s < windows[n][1] - windows[n][0]}
-            fused_outs = {}
             if (len(spans) == len(names)
-                    and all(b - a == BLOCK for a, b in spans.values())):
+                    and all(b - a == MR_BLOCK for a, b in spans.values())):
                 # full blocks for every robot: ONE prefilter + ONE vmapped
                 # odometry dispatch + ONE pose fetch for all of them
                 fpts, fmask = prefilter_batch(
                     jnp.concatenate([raw_d[a:b] for a, b in spans.values()]),
                     jnp.concatenate([rmask_d[a:b] for a, b in spans.values()]))
-                R = len(names)
-                fpts = fpts.reshape(R, BLOCK, *fpts.shape[1:])
-                fmask = fmask.reshape(R, BLOCK, *fmask.shape[1:])
-                st2 = jnp.broadcast_to(stamps[s:s + BLOCK], (R, BLOCK))
+                fpts = fpts.reshape(R, MR_BLOCK, *fpts.shape[1:])
+                fmask = fmask.reshape(R, MR_BLOCK, *fmask.shape[1:])
+                st2 = jnp.broadcast_to(stamps[s:s + MR_BLOCK], (R, MR_BLOCK))
                 carries, outs = fused.run_batch_multi(odo_cfg, carries,
                                                       fpts, fmask, st2)
                 all_poses = np.asarray(outs.pose)  # (R, B, 7): one fetch
                 for r, name in enumerate(names):
-                    fused_outs[name] = all_poses[r]
-                    ingest(name, s, fpts[r], fmask[r])
+                    ingest(name, s, fpts[r], fmask[r], all_poses[r])
             else:
                 # ragged window tails fall back to per-robot blocks
                 for r, name in enumerate(names):
@@ -262,90 +346,143 @@ def main():
                     c_r = jax.tree.map(lambda x: x[r], carries)
                     c_r, outs = fused.run_batch(odo_cfg, c_r, fpts, fmask,
                                                 stamps[s:s + (b - a)])
-                    carries = jax.tree.map(lambda f, n: f.at[r].set(n),
+                    carries = jax.tree.map(lambda f, v: f.at[r].set(v),
                                            carries, c_r)
-                    fused_outs[name] = outs.pose
-                    ingest(name, s, fpts, fmask)
-            now = (s + BLOCK) * 0.1
+                    ingest(name, s, fpts, fmask, np.asarray(outs.pose))
+            now = (s + MR_BLOCK) * 0.1
             ticker.tick_all(now=now)  # ONE dispatch chain for all robots
-            for name in slams:
+            for name in names:
                 sp = slams[name].slam_pose_broadcast(now)
-                if sp is not None:
-                    peers[name].on_slam_pose_broadcast(
-                        sp, now=now,
-                        request_fn=request_fn_for(peers[name].own_name))
+                if sp is None:
+                    continue
+                for other in names:
+                    if other != name:
+                        slams[other].on_slam_pose_broadcast(
+                            sp, now=now, request_fn=request_fn)
         ticker.tick_all(now=n_local * 0.1)
-        return slams
+        return slams, windows
 
-    slams = run_multirobot()  # warmup (graph-merge paths compile here)
-    t0 = time.perf_counter()
-    slams = run_multirobot()
-    dt_mr = time.perf_counter() - t0
-    n_scans = sum(hi - lo for lo, hi in windows.values())
-    fps_mr = n_scans / dt_mr
-    mr_ates, n_remote = [], 0
-    for name, (lo, hi) in windows.items():
-        own = sorted(slams[name].db.own_keyframes(), key=lambda k: k.stamp)
-        est = np.stack([k.estimate(slams[name].db.graph) for k in own])
-        gt = traj[[lo + int(round(k.stamp / 0.1)) for k in own]]
-        mr_ates.append(ate_rmse(est[:, :3], np.asarray(gt)[:, :3]))
-        n_remote += sum(1 for k in slams[name].db.keyframes
-                        + slams[name].db.new_keyframes
-                        if k.robot_name != name)
-    xbytes = sum(sum(s.received_graph_bytes) for s in slams.values())
-    print(f"# two-robot SLAM: {n_scans} scans in {dt_mr:.3f}s "
-          f"({fps_mr:.1f} scans/s); ATE {max(mr_ates):.3f} m worst robot, "
-          f"{n_remote} merged remote keyframes, "
-          f"{xbytes / 1e6:.2f} MB exchanged", file=sys.stderr)
-
-    # 1024-node pose-graph solve wall time on this chip (VERDICT item 6).
-    # dense (equilibrated f32 Cholesky on the MXU) measured 6.5x faster
-    # than block-Jacobi PCG at this size (412 ms/18 LM iters vs 2.7 s at
-    # the 64-iter cap); the cg backend remains the choice for graphs past
-    # dense capacity and for the sharded distributed path.
-    from mrg_slam_tpu.pipeline.baseline_runs import build_ring_graph
-    from mrg_slam_tpu.graph import solve
-    gs = build_ring_graph(n_nodes=1024, capacity_nodes=1024,
-                          capacity_edges=2048,
-                          backend="dense")
-    g = gs.snapshot()
-    cfg1k = OptimizerConfig(solver_backend="dense",
-                            g2o_solver_num_iterations=64)
-    res = solve.optimize(g, cfg1k)  # compile
-    jax.block_until_ready(res.poses)
-    # median of 3 reps, each on slightly perturbed translations: a rerun on
-    # byte-identical inputs has been observed to return in ~8 ms through
-    # the remote tunnel (result memoization), 50x below the honest solve
-    # wall — distinct inputs defeat it
-    reps = []
-    for k in range(3):
-        gk = g._replace(poses=g.poses.at[:, :3].add(1e-4 * (k + 1)))
-        jax.block_until_ready(gk.poses)
+    results = {}
+    for R in (2, 3, 4):
+        slams, windows = run(R)   # warmup (compiles R-specific programs)
         t0 = time.perf_counter()
-        res = solve.optimize(gk, cfg1k)
+        slams, windows = run(R)
+        dt = time.perf_counter() - t0
+        n_scans = sum(hi - lo for lo, hi in windows.values())
+        fps = n_scans / dt
+        ates, n_remote = [], 0
+        for name, (lo, hi) in windows.items():
+            own = sorted(slams[name].db.own_keyframes(), key=lambda k: k.stamp)
+            est = np.stack([k.estimate(slams[name].db.graph) for k in own])
+            gt = traj[[lo + int(round(k.stamp / 0.1)) for k in own]]
+            ates.append(ate_rmse(est[:, :3], np.asarray(gt)[:, :3]))
+            n_remote += sum(1 for k in slams[name].db.keyframes
+                            + slams[name].db.new_keyframes
+                            if k.robot_name != name)
+        xbytes = sum(sum(s.received_graph_bytes) for s in slams.values())
+        log(f"# {R}-robot SLAM: {n_scans} scans in {dt:.3f}s "
+            f"({fps:.1f} scans/s aggregate, {fps / R:.1f}/robot); worst ATE "
+            f"{max(ates):.3f} m, {n_remote} merged remote keyframes, "
+            f"{xbytes / 1e6:.2f} MB exchanged")
+        results[R] = dict(scans_per_s=fps, worst_ate=max(ates),
+                          remote_kf=n_remote, mb=xbytes / 1e6)
+    return results
+
+
+# ---------------------------------------------------------------------------
+# pose-graph solver scaling
+# ---------------------------------------------------------------------------
+
+def run_solvers():
+    import jax
+
+    from mrg_slam_tpu.config import OptimizerConfig
+    from mrg_slam_tpu.graph import solve
+    from mrg_slam_tpu.pipeline.baseline_runs import build_ring_graph
+    from mrg_slam_tpu.utils import se3np
+
+    def build(n, backend):
+        gs = build_ring_graph(n_nodes=n, capacity_nodes=n,
+                              capacity_edges=2 * n, backend=backend, seed=0)
+        info = np.diag([100.0] * 3 + [400.0] * 3).astype(np.float32)
+        for i in range(0, n - n // 2, 64):
+            j = i + n // 2
+            rel = se3np.pose_between(gs.poses[i], gs.poses[j])
+            gs.add_se3_edge(i, j, rel, info * 0.25, kernel="Huber",
+                            kernel_delta=1.0)
+        return gs
+
+    def timed_solve(n, backend, reps=3):
+        gs = build(n, backend)
+        g = gs.snapshot()
+        cfg = OptimizerConfig(solver_backend=backend,
+                              g2o_solver_num_iterations=64)
+        aux = solve.chain_aux_for(g) if backend == "chain" else None
+        res = solve.optimize(g, cfg, aux=aux)  # compile
         jax.block_until_ready(res.poses)
-        reps.append(time.perf_counter() - t0)
-    dt_solve = sorted(reps)[1]
-    print(f"# 1024-node solve {dt_solve * 1e3:.1f} ms "
-          f"(reps {[round(r * 1e3, 1) for r in reps]}; "
-          f"chi2 {float(res.chi2_initial):.1f} -> "
-          f"{float(res.chi2_final):.3f}, {int(res.iterations)} iters)",
-          file=sys.stderr)
+        # median of perturbed reps: byte-identical device inputs have
+        # returned in ~8 ms through the tunnel (result memoization), 50x
+        # below the honest solve wall — distinct inputs defeat it
+        ts = []
+        for k in range(reps):
+            gk = g._replace(poses=g.poses.at[:, :3].add(1e-4 * (k + 1)))
+            jax.block_until_ready(gk.poses)
+            t1 = time.perf_counter()
+            res = solve.optimize(gk, cfg, aux=aux)
+            jax.block_until_ready(res.poses)
+            ts.append(time.perf_counter() - t1)
+        dt = sorted(ts)[len(ts) // 2]
+        log(f"# {backend} {n}-node solve {dt * 1e3:.1f} ms "
+            f"(reps {[round(t * 1e3, 1) for t in ts]}; chi2 "
+            f"{float(res.chi2_initial):.1f} -> {float(res.chi2_final):.4f}, "
+            f"{int(res.iterations)} iters)")
+        return dt, float(res.chi2_final)
+
+    t_dense, c_dense = timed_solve(1024, "dense")
+    t_chain, c_chain = timed_solve(1024, "chain")
+    parity = abs(c_chain - c_dense) / max(c_dense, 1e-9)
+    log(f"# 1024-node chi2 parity dense vs chain: rel diff {parity:.2e}")
+    t_chain8k, c_chain8k = timed_solve(8192, "chain")
+    return dict(solve_1024_dense_ms=t_dense * 1e3,
+                solve_1024_chain_ms=t_chain * 1e3,
+                chain_dense_chi2_rel=parity,
+                solve_8192_chain_ms=t_chain8k * 1e3,
+                solve_8192_chi2=c_chain8k)
+
+
+def main():
+    import jax
+
+    log(f"# device: {jax.devices()[0]}")
+    prod = run_production()
+    mr = run_multirobot_scaling()
+    sol = run_solvers()
 
     print(json.dumps({
-        "metric": "full_graph_slam_frames_per_s",
-        "value": round(fps_slam, 2),
+        "metric": "production_full_slam_frames_per_s",
+        "value": round(prod["fps"], 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps_slam / 10.0, 3),
+        "vs_baseline": round(prod["fps"] / 10.0, 3),
         "extra": {
-            "scan_matching_odometry_frames_per_s": round(fps_odom, 2),
-            "keyframes": n_kf, "loops": n_loops,
-            "ate_m": round(ate, 3), "ate_odometry_only_m": round(ate_odom, 3),
-            "solve_1024_node_ms": round(dt_solve * 1e3, 1),
-            "two_robot_scans_per_s": round(fps_mr, 2),
-            "two_robot_worst_ate_m": round(max(mr_ates), 3),
-            "two_robot_merged_remote_keyframes": n_remote,
-            "two_robot_exchanged_mb": round(xbytes / 1e6, 2),
+            "scan_points_raw": RAW, "scan_points_working": FILTERED,
+            "frames": N_FRAMES,
+            "keyframes": prod["keyframes"], "loops": prod["loops"],
+            "ate_m": round(prod["ate"], 3),
+            "ate_odometry_only_m": round(prod["ate_odom"], 3),
+            "odometry_frames_per_s": round(prod["odom_fps"], 2),
+            "tick_loop_closure_ms": round(prod["loop_ms"], 1),
+            "tick_optimize_ms": round(prod["opt_ms"], 1),
+            "store_growth_ticks": prod["growth"],
+            "two_robot_scans_per_s": round(mr[2]["scans_per_s"], 2),
+            "three_robot_scans_per_s": round(mr[3]["scans_per_s"], 2),
+            "four_robot_scans_per_s": round(mr[4]["scans_per_s"], 2),
+            "two_robot_worst_ate_m": round(mr[2]["worst_ate"], 3),
+            "four_robot_worst_ate_m": round(mr[4]["worst_ate"], 3),
+            "two_robot_exchanged_mb": round(mr[2]["mb"], 2),
+            "solve_1024_node_ms": round(sol["solve_1024_dense_ms"], 1),
+            "solve_1024_chain_ms": round(sol["solve_1024_chain_ms"], 1),
+            "solve_8192_chain_ms": round(sol["solve_8192_chain_ms"], 1),
+            "chain_dense_chi2_rel": float(f"{sol['chain_dense_chi2_rel']:.2e}"),
         },
     }))
 

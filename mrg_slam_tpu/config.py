@@ -228,10 +228,13 @@ class OptimizerConfig:
     cg_tol: float = 1e-6
     # per-tick marginal covariances attached to map/marker snapshots
     # (mrg_slam_component.cpp:882-891): "none" skips, "approx" = block-
-    # Jacobi diag (cheap, rides the optimize dispatch), "exact" = dense
-    # H^-1 diag like g2o's sparse marginals, "cg" = exact blocks matrix-
-    # free (batched-CG selected inverse; for graphs past dense capacity)
-    per_tick_marginals: str = "approx"
+    # Jacobi diag (cheap but understates off-diagonal correlation),
+    # "exact" = dense H^-1 diag like g2o's sparse marginals (Cholesky-
+    # based), "cg" = exact blocks matrix-free (batched-CG selected
+    # inverse; for graphs past dense capacity), "auto" (default) = exact
+    # up to 4k dofs then cg — so ellipsoid output is never block-Jacobi-
+    # optimistic at any scale
+    per_tick_marginals: str = "auto"
     # chordal initialization (graph/chordal.py) before LM: linear rotation
     # relaxation + linear translation solve put a cold-start graph inside
     # LM's quadratic basin. No reference equivalent (g2o runs LM from the

@@ -33,6 +33,16 @@ _POSE_ID = np.asarray([0, 0, 0, 1, 0, 0, 0], np.float32)
 _PLANE_ID = np.asarray([0, 0, 1, 0], np.float32)
 
 
+def _resolve_marginals_mode(mode: str, cap: Dict[str, int]) -> str:
+    """"auto" -> exact dense H^-1 up to 4k dofs, batched-CG selected
+    inverse past that (so marker ellipsoids are never the optimistic
+    block-Jacobi approximation, yet large graphs never pay O(D^3))."""
+    if mode != "auto":
+        return mode
+    dofs = 6 * cap["nodes"] + 3 * cap["planes"]
+    return "exact" if dofs <= 4096 else "cg"
+
+
 def _grow_rows(arr: np.ndarray, n: int, fill, new_cap: int) -> np.ndarray:
     """Reallocate `arr` with `new_cap` rows (fill-padded), keeping the
     first `n` live rows — the one growth primitive behind every store."""
@@ -398,6 +408,7 @@ class GraphSLAM:
         n, p = self.num_nodes, self._n_planes
         mode = (marginals_mode if marginals_mode is not None
                 else cfg.per_tick_marginals)
+        mode = _resolve_marginals_mode(mode, self.cap)
         cov = None
         if mode and mode != "none" and n:
             g_opt = g._replace(poses=res.poses, planes=res.planes)
@@ -488,7 +499,7 @@ def optimize_many(graphs) -> None:
     stat, dyn = solve.split_optimizer(cfg0)
     res = solve._optimize_many_split(stat, dyn, gs)
 
-    mode = cfg0.per_tick_marginals
+    mode = _resolve_marginals_mode(cfg0.per_tick_marginals, caps)
     cov = None
     if mode and mode != "none" and any(g.num_nodes for g in graphs):
         g_opt = gs._replace(poses=res.poses, planes=res.planes)

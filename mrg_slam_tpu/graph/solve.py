@@ -789,7 +789,11 @@ def _marginals_body(g: PoseGraphData, exact: bool) -> jnp.ndarray:
     fn, _ = _free_masks(g)
     if exact:
         H, b, free = assemble_dense(g, lin)
-        Hinv = jnp.linalg.inv(H + 1e-9 * jnp.eye(H.shape[0]))
+        # Cholesky-based inverse (the factorization the damped step also
+        # uses): ~2x cheaper than LU-pivoted jnp.linalg.inv and stabler
+        # in f32 on SPD pose-graph Hessians
+        cf = jax.scipy.linalg.cho_factor(H + 1e-9 * jnp.eye(H.shape[0]))
+        Hinv = jax.scipy.linalg.cho_solve(cf, jnp.eye(H.shape[0]))
         n = g.n_nodes
         idx = jnp.arange(n)[:, None] * 6 + jnp.arange(6)[None, :]
         cov = Hinv[idx[:, :, None], idx[:, None, :]]

@@ -223,6 +223,13 @@ def config5_distributed(n_nodes=256, n_devices=8) -> Dict:
 
     if len(jax.devices()) < n_devices:
         jax.config.update("jax_platforms", "cpu")
+        try:
+            # self-sufficient virtual farm (only effective before the CPU
+            # backend initializes; harmless after — then the caller must
+            # have exported xla_force_host_platform_device_count)
+            jax.config.update("jax_num_cpu_devices", n_devices)
+        except Exception:
+            pass
     from ..config import OptimizerConfig
     from ..graph import solve
     from ..parallel import dist_solver
@@ -243,26 +250,57 @@ def config5_distributed(n_nodes=256, n_devices=8) -> Dict:
             "max_pose_divergence_m": float(np.abs(dp - sp).max())}
 
 
-def main(out_path: str = "BASELINE_SYNTH.json") -> Dict:
+def main(out_path: str = "BASELINE_SYNTH.json",
+         device: str = "auto") -> Dict:
+    """Run the acceptance configs and merge results into `out_path`.
+
+    device: "cpu" forces the host platform; "tpu" requires a real chip
+    (VERDICT r2 #8: acceptance ATE and benchmark fps must come from the
+    same code path — this runs configs 1-4 on the chip; config 5 needs an
+    8-device mesh and stays on the virtual CPU farm); "auto" keeps the
+    environment default. CPU rows land under "results", chip rows under
+    "results_tpu", side by side in the same JSON.
+    """
     import os
 
     import jax
 
-    # honor JAX_PLATFORMS=cpu despite the axon sitecustomize override
-    # (see CLAUDE.md); acceptance runs are CPU-reproducible by design
-    if "cpu" in os.environ.get("JAX_PLATFORMS", "").split(","):
+    if device == "auto" and "cpu" in os.environ.get(
+            "JAX_PLATFORMS", "").split(","):
+        device = "cpu"
+    if device == "cpu":
+        # honor CPU despite the axon sitecustomize override (see CLAUDE.md)
         jax.config.update("jax_platforms", "cpu")
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    if device == "tpu":
+        assert on_tpu, f"no TPU available: {jax.devices()}"
     results = [config1_odometry_only(), config2_full_slam(),
                config3_floor_augmented(), config4_two_robot(),
                config5_distributed()]
-    payload = {"note": "synthetic-world acceptance runs (no datasets in "
-                       "container); see BASELINE.md / pipeline/baseline_runs.py",
-               "results": results}
+    for r in results:
+        r["device"] = "tpu" if on_tpu else "cpu"
+    results[-1]["device"] = "cpu"  # config5 always runs the 8-device farm
+    try:
+        with open(out_path) as f:
+            payload = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        payload = {}
+    payload["note"] = ("synthetic-world acceptance runs (no datasets in "
+                       "container); see BASELINE.md / "
+                       "pipeline/baseline_runs.py")
+    payload["results_tpu" if on_tpu else "results"] = results
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=2, default=float)
-    print(json.dumps(payload, indent=2, default=float))
+    print(json.dumps(results, indent=2, default=float))
     return payload
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "BASELINE_SYNTH.json")
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out", nargs="?", default="BASELINE_SYNTH.json")
+    ap.add_argument("--device", choices=("auto", "cpu", "tpu"),
+                    default="auto")
+    a = ap.parse_args()
+    main(a.out, device=a.device)

@@ -19,10 +19,12 @@ instead) and serves three endpoints over parallel/channel.SocketServer:
   on one thread; the reference takes main_thread_mutex for the same
   races, mrg_slam_component.cpp:1369-1425).
 
-A robot-level lock serializes the optimization tick against concurrent
-publish_graph service reads. Outbound requests never hold the lock, so
-two robots requesting each other's graphs simultaneously cannot deadlock
-(the reference relies on its async service call + timeout for the same).
+ALL jax work runs on each robot's main thread: publish_graph requests are
+queued by the handler thread and fulfilled at the main loop's service
+points (XLA:CPU aborted when a handler thread fetched clouds concurrently
+with main-thread compute). Requests therefore wait at most a frame or
+two — far under the 20 s service timeout — and two robots requesting each
+other's graphs simultaneously cannot deadlock.
 
 CLI:
     python -m mrg_slam_tpu.pipeline.multiprocess --robots 2 --frames 80 \
@@ -67,20 +69,40 @@ def _worker_main(arg_blob: bytes) -> None:
 
     robot = Robot(job.cfg)
     slam = robot.slam
-    lock = threading.Lock()           # tick vs publish_graph service
     inbox: List[Tuple[str, object]] = []
     inbox_lock = threading.Lock()
 
     server = SocketServer(port=job.port)
 
+    # publish_graph is served FROM THE MAIN THREAD: the handler enqueues
+    # the request and blocks on an event that the main loop fulfills at
+    # its next service point (frame boundary / drain / barrier poll).
+    # Running jax work (cloud fetches for quantization) on the socket
+    # handler thread concurrently with the main thread's XLA:CPU compute
+    # aborted the process (C++ terminate in a worker thread); keeping all
+    # jax single-threaded per process sidesteps it. Peers wait a frame or
+    # two (well under the 20 s service timeout the reference also uses).
+    pending: List[Tuple[object, threading.Event, dict]] = []
+    pending_lock = threading.Lock()
+
     def publish_graph(req):
-        with lock:
+        ev, holder = threading.Event(), {}
+        with pending_lock:
+            pending.append((req, ev, holder))
+        ev.wait(timeout=15.0)
+        return holder.get("resp")
+
+    def serve_pending() -> None:
+        with pending_lock:
+            todo, pending[:] = list(pending), []
+        for req, ev, holder in todo:
             msg = slam.handle_publish_graph(req)
-        wire = quantize_graph_msg(msg)
-        if slam.sent_graph_bytes:
-            # account what actually crosses the wire, not the float form
-            slam.sent_graph_bytes[-1] = wire.nbytes()
-        return wire
+            wire = quantize_graph_msg(msg)
+            if slam.sent_graph_bytes:
+                # account what actually crosses the wire, not float form
+                slam.sent_graph_bytes[-1] = wire.nbytes()
+            holder["resp"] = wire
+            ev.set()
 
     def enqueue(kind):
         def handler(msg):
@@ -91,6 +113,12 @@ def _worker_main(arg_blob: bytes) -> None:
     server.advertise("publish_graph", publish_graph)
     server.advertise("odom", enqueue("odom"))
     server.advertise("slam_pose", enqueue("slam_pose"))
+    # lock-step pacing: peers poll our global frame index so free-running
+    # processes keep bounded skew (the reference gates playback on peer
+    # SlamStatus the same way, kitti_multirobot_processor.py:95-99);
+    # 10**9 = window finished, never block on us again
+    progress = {"frame": -1}
+    server.advertise("progress", lambda _: progress["frame"])
 
     # handshake: report our bound port, wait for peer addresses
     with open(job.handshake_path, "w") as f:
@@ -118,6 +146,7 @@ def _worker_main(arg_blob: bytes) -> None:
         return dequantize_graph_msg(graph) if graph is not None else None
 
     def drain(now: float) -> None:
+        serve_pending()
         with inbox_lock:
             msgs, inbox[:] = list(inbox), []
         for kind, msg in msgs:
@@ -135,26 +164,55 @@ def _worker_main(arg_blob: bytes) -> None:
                                  noise=0.02)
     traj = circle_trajectory(job.total_frames, radius=12.0, laps=1.1)
     lo, hi = job.window
+
+    def wait_for_peers(i: int, max_skew: int) -> None:
+        deadline = time.time() + 60.0
+        while time.time() < deadline:
+            serve_pending()   # a waiting peer may need OUR graph to move
+            prog = [peers[n].call("progress", None) for n in peer_names]
+            if all(p is None or p >= i - max_skew for p in prog):
+                return
+            time.sleep(0.02)
+
     t_run = time.perf_counter()
     for i in range(lo, hi):
         stamp = i * 0.1
+        wait_for_peers(i, max_skew=job.tick_every)
+        progress["frame"] = i
+        serve_pending()
         _, bc = robot.step(stamp, world.scan(traj[i], seed=i))
         if bc is not None:
             for c in peers.values():
                 c.call("odom", bc)
         if (i - lo + 1) % job.tick_every == 0:
             drain(stamp)
-            with lock:
-                slam.optimization_tick(now=stamp)
+            slam.optimization_tick(now=stamp)
             sp = slam.slam_pose_broadcast(stamp)
             if sp is not None:
                 for c in peers.values():
                     c.call("slam_pose", sp)
-    # settle: let late broadcasts arrive, final exchange + tick
-    time.sleep(0.3)
+    progress["frame"] = 10**9  # window done: release any waiting peer
+    # END-OF-RUN RENDEZVOUS: a robot that finished its window must keep
+    # serving publish_graph until every peer has finished too, or peers
+    # with later windows lose their final exchanges (observed: 0 remote
+    # keyframes at 60 frames because alpha exited while bravo's last
+    # slam-pose drain was still requesting). The reference's robots are
+    # long-lived processes; the harness-imposed end needs this barrier.
+    deadline = time.time() + 60.0
+    while time.time() < deadline:
+        serve_pending()
+        prog = [peers[n].call("progress", None) for n in peer_names]
+        if all(p is not None and p >= 10**9 for p in prog):
+            break
+        time.sleep(0.05)
+    time.sleep(0.3)  # let the last broadcasts land
     drain(hi * 0.1)
-    with lock:
-        slam.optimization_tick(now=hi * 0.1)
+    slam.optimization_tick(now=hi * 0.1)
+    # serve peers' own final-drain requests before closing
+    t_end = time.time() + 2.0
+    while time.time() < t_end:
+        serve_pending()
+        time.sleep(0.05)
     wall = time.perf_counter() - t_run
 
     own = sorted(slam.db.own_keyframes(), key=lambda k: k.stamp)

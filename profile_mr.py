@@ -19,7 +19,8 @@ import numpy as np
 
 import bench
 
-RAW, FILTERED, N_FRAMES, BLOCK = bench.RAW, bench.FILTERED, bench.N_FRAMES, bench.BLOCK
+RAW, FILTERED = bench.MR_RAW, bench.MR_FILTERED
+N_FRAMES, BLOCK = bench.MR_FRAMES, bench.MR_BLOCK
 
 T = defaultdict(float)
 C = defaultdict(int)
@@ -82,7 +83,7 @@ def main():
         robot_remove_points_radius=0.0)
 
     traj, scans = bench.build_world_and_scans()
-    raw, rmask = bench.stack_scans(scans)
+    raw, rmask = bench.stack_scans(scans, RAW)
     raw_d, rmask_d = jnp.asarray(raw), jnp.asarray(rmask)
     stamps = jnp.arange(N_FRAMES, dtype=jnp.float32) * 0.1
 
