@@ -148,10 +148,10 @@ def run_production():
     log(f"# production world: {N_FRAMES} frames x "
         f"{int(rmask.sum(1).mean())} pts avg, generated in "
         f"{time.perf_counter() - t0:.1f}s")
-    # keyframe_delta 1.2 m over ~380 m of trajectory -> ~300 keyframes;
+    # keyframe_delta 1.1 m over ~380 m of trajectory -> ~330 keyframes;
     # stores start at 128 kf / 512 edges and double twice mid-run
     pre_cfg, odo_cfg, slam_cfg = make_configs(
-        RAW, FILTERED, keyframe_delta=1.2,
+        RAW, FILTERED, keyframe_delta=1.1,
         capacity_keyframes=128, capacity_edges=512)
 
     t0 = time.perf_counter()

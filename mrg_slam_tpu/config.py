@@ -222,7 +222,9 @@ class OptimizerConfig:
     lm_initial_lambda: float = 1e-6  # -1 semantics: auto from diag(H)
     # dense | cg (block-Jacobi PCG) | chain (segmented block-tridiagonal
     # Cholesky + Woodbury loop correction — the exact large-graph path,
-    # graph/chain_solver.py)
+    # graph/chain_solver.py) | auto (dense up to ~2k nodes, chain past —
+    # the unbounded-growth deployment choice, matching g2o cholmod's
+    # any-size capability)
     solver_backend: str = "dense"
     cg_max_iterations: int = 256
     cg_tol: float = 1e-6

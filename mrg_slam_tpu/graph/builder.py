@@ -395,7 +395,8 @@ class GraphSLAM:
             from .chordal import chordal_init
             g = g._replace(poses=chordal_init(g))
         aux = None
-        if cfg.solver_backend == "chain":
+        if solve.resolve_backend(cfg.solver_backend, g.n_nodes,
+                                 g.n_planes) == "chain":
             # classify coupling edges straight off the host staging
             # buffers (no device fetch)
             from .chain_solver import classify
@@ -476,8 +477,11 @@ def optimize_many(graphs) -> None:
     if not graphs:
         return
     cfg0 = graphs[0].cfg
+    backend0 = solve.resolve_backend(
+        cfg0.solver_backend, max(g.cap["nodes"] for g in graphs),
+        max(g.cap["planes"] for g in graphs))
     if (len(graphs) == 1 or any(g.cfg != cfg0 for g in graphs[1:])
-            or cfg0.solver_backend == "chain"):
+            or backend0 == "chain"):
         # the chain backend's coupling classification is per-graph (and
         # host-side), so chain-backend robots solve sequentially
         for g in graphs:
@@ -496,7 +500,9 @@ def optimize_many(graphs) -> None:
         from .chordal import chordal_init
         snaps = [s._replace(poses=chordal_init(s)) for s in snaps]
     gs = jax.tree.map(lambda *xs: jnp.stack(xs), *snaps)
-    stat, dyn = solve.split_optimizer(cfg0)
+    import dataclasses as _dc
+    stat, dyn = solve.split_optimizer(
+        _dc.replace(cfg0, solver_backend=backend0))
     res = solve._optimize_many_split(stat, dyn, gs)
 
     mode = _resolve_marginals_mode(cfg0.per_tick_marginals, caps)

@@ -61,10 +61,18 @@ class ChainAux(NamedTuple):
 
 
 def _bucket(n: int, lo: int = 8) -> int:
-    b = lo
-    while b < n:
-        b *= 2
-    return b
+    """Static Woodbury capacity: next multiple of 16 (pow2 below 16).
+
+    The multi-RHS T-solve cost scales with 6*bucket columns, so pow2
+    padding was paying up to 2x (65 live couplings -> 128 slots -> 769
+    RHS columns; multiples of 16 -> 80 slots -> 481). A growing live
+    graph recompiles the solve every 16 new loop closures, acceptable at
+    the graph sizes that choose this backend."""
+    if n <= lo:
+        return lo
+    if n <= 16:
+        return 16
+    return ((n + 15) // 16) * 16
 
 
 def classify(from_idx: np.ndarray, to_idx: np.ndarray, mask: np.ndarray,

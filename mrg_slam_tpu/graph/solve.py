@@ -552,13 +552,28 @@ def _chain_K(n: int) -> int:
     return k
 
 
+def resolve_backend(backend: str, n_nodes: int, n_planes: int = 0) -> str:
+    """"auto" -> dense while the (6N+3P)^2 Hessian is cheap (<= 2k nodes),
+    the chain backend (segmented tridiagonal + Woodbury) past that — so a
+    live graph that outgrows dense capacity transparently switches to the
+    large-graph exact path, like g2o's cholmod handles any size."""
+    if backend != "auto":
+        return backend
+    return "dense" if 6 * n_nodes + 3 * n_planes <= 12288 else "chain"
+
+
 def split_optimizer(cfg: OptimizerConfig, g: Optional[PoseGraphData] = None):
     """Static program identity vs traced numeric knobs for the LM body —
     the single source of truth for every caller of `_optimize_body`
     (optimize, builder.optimize_many, parallel.dist_solver)."""
+    backend = cfg.solver_backend
+    if g is not None:
+        backend = resolve_backend(backend, g.n_nodes, g.n_planes)
+    assert backend != "auto", (
+        "auto solver backend needs the graph to resolve against")
     K = _chain_K(g.n_nodes) if (g is not None
-                                and cfg.solver_backend == "chain") else 0
-    stat = (cfg.solver_backend, cfg.g2o_solver_type.startswith("lm"), K)
+                                and backend == "chain") else 0
+    stat = (backend, cfg.g2o_solver_type.startswith("lm"), K)
     dyn = dict(max_outer=jnp.int32(cfg.g2o_solver_num_iterations),
                chi2_rel_tol=jnp.float32(cfg.chi2_rel_tol),
                lam0=jnp.float32(cfg.lm_initial_lambda),

@@ -64,7 +64,13 @@ class PairRunner:
     """Executes PairRequest batches through one jitted program."""
 
     MIN_BUCKET = 4
-    MAX_BUCKET = 64  # requests beyond this run as multiple dispatches
+    # Requests beyond MAX_BUCKET run as multiple dispatches. The align
+    # program is iteration-bound, not width-bound (CLAUDE.md): each extra
+    # bucket pays a full sequential GN-iteration chain, so the cap should
+    # comfortably hold a production tick's whole row set (measured r3:
+    # 2 buckets of 64 at 8192-pt clouds doubled the tick's loop-closure
+    # wall vs one 128-wide dispatch).
+    MAX_BUCKET = 128
 
     def __init__(self, reg_cfg: RegistrationConfig):
         # GICP-family targets are covariance clouds; VGICP/NDT targets are

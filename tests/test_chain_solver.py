@@ -140,3 +140,21 @@ def test_chain_pure_chain_no_coupling(rng):
     assert chi2 < 1e-3
     np.testing.assert_allclose(gs.poses[:, 0], np.arange(n, dtype=np.float32),
                                atol=1e-3)
+
+
+def test_auto_backend_resolution(rng):
+    """solver_backend='auto': dense while the Hessian is small, chain past
+    ~2k nodes — the unbounded-growth deployment choice."""
+    from mrg_slam_tpu.graph.solve import resolve_backend
+
+    assert resolve_backend("auto", 64) == "dense"
+    assert resolve_backend("auto", 2048) == "dense"
+    assert resolve_backend("auto", 2049) == "chain"
+    assert resolve_backend("auto", 8192) == "chain"
+    assert resolve_backend("dense", 8192) == "dense"  # explicit wins
+    # end-to-end through the builder at small scale (resolves dense)
+    gs = build_mixed_graph(rng, n=32, with_planes=False)
+    gs.cfg = OptimizerConfig(solver_backend="auto",
+                             g2o_solver_num_iterations=32)
+    chi2 = gs.optimize()
+    assert np.isfinite(chi2) and chi2 <= gs.chi2_initial
