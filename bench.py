@@ -44,7 +44,10 @@ import numpy as np
 # ---- production scale (flagship) ----
 RAW = 131072       # raw scan points per frame (~KITTI 64-beam density)
 FILTERED = 8192    # prefiltered working capacity
-N_FRAMES = 512
+# 640 frames over 3.02 laps (~380 m): 0.59 m/frame, so the 1.1 m keyframe
+# gate quantizes to every 2nd frame -> 320 keyframes, crossing the
+# 128-cap store's TWO doublings (128 -> 256 -> 512)
+N_FRAMES = 640
 BLOCK = 32         # frames per device dispatch (~3 s graph_update_interval)
 
 # ---- multi-robot scale (round-2-comparable workload) ----

@@ -64,13 +64,19 @@ class PairRunner:
     """Executes PairRequest batches through one jitted program."""
 
     MIN_BUCKET = 4
-    # Requests beyond MAX_BUCKET run as multiple dispatches. The align
-    # program is iteration-bound, not width-bound (CLAUDE.md): each extra
-    # bucket pays a full sequential GN-iteration chain, so the cap should
-    # comfortably hold a production tick's whole row set (measured r3:
-    # 2 buckets of 64 at 8192-pt clouds doubled the tick's loop-closure
-    # wall vs one 128-wide dispatch).
-    MAX_BUCKET = 128
+    # Requests beyond the bucket cap run as multiple dispatches. The align
+    # program is iteration-bound below a points*rows knee (widening is
+    # nearly free), then turns bandwidth-bound (measured r3 on-chip:
+    # 4096-pt rows at width 128 beat 2x64 by ~10%, but 8192-pt rows at
+    # width 128 were 43% SLOWER than 2x64). Budget the cap so
+    # capacity * bucket stays at the knee: 4096 -> 128, 8192 -> 64.
+    ROW_POINTS_BUDGET = 524288
+
+    def max_bucket(self, capacity: int) -> int:
+        b = self.MIN_BUCKET
+        while b * 2 * capacity <= self.ROW_POINTS_BUDGET:
+            b *= 2
+        return b
 
     def __init__(self, reg_cfg: RegistrationConfig):
         # GICP-family targets are covariance clouds; VGICP/NDT targets are
@@ -117,9 +123,11 @@ class PairRunner:
     def run(self, requests: List[PairRequest]) -> List[PairResult]:
         if not requests:
             return []
+        cap = requests[0].target.cloud.capacity
+        max_bucket = self.max_bucket(cap)
         out: List[PairResult] = []
-        for s in range(0, len(requests), self.MAX_BUCKET):
-            out.extend(self._run_bucket(requests[s: s + self.MAX_BUCKET]))
+        for s in range(0, len(requests), max_bucket):
+            out.extend(self._run_bucket(requests[s: s + max_bucket]))
         return out
 
     def _run_bucket(self, requests: List[PairRequest]) -> List[PairResult]:
