@@ -114,7 +114,12 @@ def make_configs(raw, filtered, keyframe_delta=2.0, capacity_keyframes=128,
         keyframe_delta_trans=keyframe_delta,
         capacity_keyframes=capacity_keyframes, capacity_edges=capacity_edges,
         capacity_keyframe_points=filtered,
-        registration=dataclasses.replace(reg, reg_maximum_iterations=24),
+        # the batched pair program pays the max iteration count across its
+        # rows, and a non-overlapping candidate row never converges — so
+        # the budget IS the tick's wall. 16 iters: true loops converge in
+        # <10 from graph-estimate init guesses (loops/ATE measured
+        # unchanged vs 24), garbage rows are rejected by the fitness gate
+        registration=dataclasses.replace(reg, reg_maximum_iterations=16),
         optimizer=OptimizerConfig(solver_backend="dense",
                                   g2o_solver_num_iterations=64),
         # fitness_score_max_range gates acceptance fitness to the

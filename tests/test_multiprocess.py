@@ -78,3 +78,21 @@ def test_two_process_tcp_exchange(tmp_path):
         assert per_kf < 9000, per_kf
     # at least one robot closed an inter-robot loop
     assert sum(r["loops"] for r in results.values()) >= 1
+
+
+def test_quantize_empty_and_padded_clouds():
+    from mrg_slam_tpu.parallel.messages import QuantizedCloud
+
+    empty = PointCloud.empty(128)
+    qc = quantize_cloud(empty)
+    assert qc.offsets.shape == (0, 3) and qc.capacity == 128
+    back = dequantize_cloud(qc)
+    assert int(np.asarray(back.mask).sum()) == 0
+    assert back.capacity == 128
+    # single point
+    one = PointCloud.from_array(np.asarray([[1.5, -2.25, 3.0]], np.float32),
+                                capacity=16)
+    rt = dequantize_cloud(quantize_cloud(one))
+    np.testing.assert_allclose(np.asarray(rt.points)[0], [1.5, -2.25, 3.0],
+                               atol=1.0 / 256.0)
+    assert isinstance(quantize_cloud(one), QuantizedCloud)
