@@ -96,6 +96,14 @@ class RegistrationConfig:
     # voxel-downsampled clouds at radius ~2-3x the voxel size).
     reg_covariance_mode: str = "radius"
     reg_covariance_radius: float = 1.0
+    # TPU-specific coarse-to-fine Gauss-Newton: run the first
+    # reg_coarse_iterations of the budget on stride-subsampled source and
+    # target clouds (the per-iteration NN pass shrinks ~stride² for dense
+    # targets), then polish at full resolution. stride 1 disables. The
+    # batched pair program's wall is its max budget, so this is the main
+    # lever on the back-end tick at production cloud sizes.
+    reg_coarse_stride: int = 1
+    reg_coarse_iterations: int = 0
 
 
 @dataclass(frozen=True)

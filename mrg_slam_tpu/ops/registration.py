@@ -65,7 +65,7 @@ def _covariances(cloud: PointCloud, params) -> GICPCloud:
 
 _REG_STATIC = ("registration_method", "reg_use_reciprocal_correspondences",
                "reg_correspondence_randomness", "reg_nn_search_method",
-               "reg_covariance_mode")
+               "reg_covariance_mode", "reg_coarse_stride")
 _REG_DYN_F32 = ("reg_transformation_epsilon",
                 "reg_max_correspondence_distance", "reg_resolution",
                 "reg_covariance_radius", "reg_ndt_outlier_ratio")
@@ -86,6 +86,7 @@ def split_reg(params: RegistrationConfig):
     stat = tuple(getattr(params, f) for f in _REG_STATIC)
     dyn = {f: jnp.float32(getattr(params, f)) for f in _REG_DYN_F32}
     dyn["reg_maximum_iterations"] = jnp.int32(params.reg_maximum_iterations)
+    dyn["reg_coarse_iterations"] = jnp.int32(params.reg_coarse_iterations)
     return stat, dyn
 
 
@@ -169,7 +170,19 @@ def _align_impl(params: RegistrationConfig, source: GICPCloud,
                 target: RegistrationTarget, init_pose: jnp.ndarray,
                 max_iters) -> RegistrationResult:
     """align() body; `max_iters` may be a python int or a traced scalar
-    (the batched pair program passes a per-pair budget, 0 = evaluate-only)."""
+    (the batched pair program passes a per-pair budget, 0 = evaluate-only).
+
+    With `reg_coarse_stride > 1` the Gauss-Newton runs coarse-to-fine:
+    the first `reg_coarse_iterations` of the budget iterate on
+    stride-subsampled source AND target clouds (the per-iteration
+    nearest-neighbor pass — the wall of the batched pair program at
+    production cloud sizes — shrinks by stride² for GICP targets), then
+    the remaining budget polishes at full resolution from the coarse
+    pose. Inside a vmapped batch the wall is the max budget across rows
+    (non-overlapping candidate rows never converge), so the static
+    schedule is what the tick pays: e.g. 16 iters at 8192 pts -> 12
+    coarse (stride 4: 1/16 NN cost each) + 4 fine ≈ 4.75 full-iteration
+    equivalents instead of 16."""
     method = params.registration_method
     use_source_covs = method not in ("ICP", "NDT", "NDT_OMP")
     eps_t = params.reg_transformation_epsilon
@@ -197,50 +210,82 @@ def _align_impl(params: RegistrationConfig, source: GICPCloud,
     else:
         ndt_d2 = None
 
-    def gn_step(pose):
-        R = se3.pose_rotation(pose)
-        p_world = se3.pose_apply(pose, p)
-        q, Cq, valid = _correspondences(method, params, p_world, src_mask,
-                                        target)
-        r = q - p_world  # (N,3)
-        if use_source_covs:
-            RCpRt = jnp.einsum("ab,nbc,dc->nad", R, source.covs, R)
-            W = inv3x3(Cq + RCpRt)
+    def run_stage(src: GICPCloud, tgt: RegistrationTarget,
+                  pose0, budget):
+        sp, sm = src.points, src.mask
+
+        def gn_step(pose):
+            R = se3.pose_rotation(pose)
+            p_world = se3.pose_apply(pose, sp)
+            q, Cq, valid = _correspondences(method, params, p_world, sm,
+                                            tgt)
+            r = q - p_world  # (N,3)
+            if use_source_covs:
+                RCpRt = jnp.einsum("ab,nbc,dc->nad", R, src.covs, R)
+                W = inv3x3(Cq + RCpRt)
+            else:
+                W = inv3x3(Cq)
+            w = valid.astype(jnp.float32)
+            if ndt_d2 is not None:
+                m = jnp.einsum("na,nab,nb->n", r, W, r)
+                w = w * ndt_d2 * jnp.exp(-0.5 * ndt_d2 * m)
+            W = W * w[:, None, None]
+            # J = [-R, R skew(p)] : (N,3,6)
+            Rskew = jnp.einsum("ab,nbc->nac", R, se3.skew(sp))
+            J = jnp.concatenate([-jnp.broadcast_to(R, Rskew.shape), Rskew],
+                                axis=-1)
+            WJ = jnp.einsum("nab,nbj->naj", W, J)
+            H = jnp.einsum("nai,naj->ij", J, WJ)
+            b = jnp.einsum("naj,na->j", WJ, r)
+            err = jnp.einsum("na,nab,nb->", r, W, r)
+            n_in = jnp.sum(valid.astype(jnp.int32))
+            xi = jnp.linalg.solve(H + 1e-6 * jnp.eye(6, dtype=H.dtype), -b)
+            return xi, H, err / jnp.maximum(n_in, 1), n_in
+
+        def cond(state):
+            pose, i, done, err, n_in, H = state
+            return (i < budget) & ~done
+
+        def body(state):
+            pose, i, done, err, n_in, H = state
+            xi, H2, err2, n2 = gn_step(pose)
+            new_pose = se3.pose_retract(pose, xi)
+            dt = jnp.linalg.norm(xi[:3])
+            dr = jnp.linalg.norm(xi[3:])
+            converged = (dt < eps_t) & (dr < eps_r)
+            return (new_pose, i + 1, converged, err2, n2, H2)
+
+        init = (pose0, jnp.int32(0), jnp.bool_(False), jnp.float32(jnp.inf),
+                jnp.int32(0), jnp.zeros((6, 6), jnp.float32))
+        return jax.lax.while_loop(cond, body, init)
+
+    pose0 = init_pose.astype(jnp.float32)
+    stride = int(getattr(params, "reg_coarse_stride", 1))
+    if stride > 1:
+        src_c = GICPCloud(p[::stride], src_mask[::stride],
+                          source.covs[::stride])
+        if target.gicp is not None:
+            tg = target.gicp
+            tgt_c = RegistrationTarget(gicp=GICPCloud(
+                tg.points[::stride], tg.mask[::stride], tg.covs[::stride]))
         else:
-            W = inv3x3(Cq)
-        w = valid.astype(jnp.float32)
-        if ndt_d2 is not None:
-            m = jnp.einsum("na,nab,nb->n", r, W, r)
-            w = w * ndt_d2 * jnp.exp(-0.5 * ndt_d2 * m)
-        W = W * w[:, None, None]
-        # J = [-R, R skew(p)] : (N,3,6)
-        Rskew = jnp.einsum("ab,nbc->nac", R, se3.skew(p))
-        J = jnp.concatenate([-jnp.broadcast_to(R, Rskew.shape), Rskew],
-                            axis=-1)
-        WJ = jnp.einsum("nab,nbj->naj", W, J)
-        H = jnp.einsum("nai,naj->ij", J, WJ)
-        b = jnp.einsum("naj,na->j", WJ, r)
-        err = jnp.einsum("na,nab,nb->", r, W, r)
-        n_in = jnp.sum(valid.astype(jnp.int32))
-        xi = jnp.linalg.solve(H + 1e-6 * jnp.eye(6, dtype=H.dtype), -b)
-        return xi, H, err / jnp.maximum(n_in, 1), n_in
-
-    def cond(state):
-        pose, i, done, err, n_in, H = state
-        return (i < max_iters) & ~done
-
-    def body(state):
-        pose, i, done, err, n_in, H = state
-        xi, H2, err2, n2 = gn_step(pose)
-        new_pose = se3.pose_retract(pose, xi)
-        dt = jnp.linalg.norm(xi[:3])
-        dr = jnp.linalg.norm(xi[3:])
-        converged = (dt < eps_t) & (dr < eps_r)
-        return (new_pose, i + 1, converged, err2, n2, H2)
-
-    init = (init_pose.astype(jnp.float32), jnp.int32(0), jnp.bool_(False),
-            jnp.float32(jnp.inf), jnp.int32(0), jnp.zeros((6, 6), jnp.float32))
-    pose, iters, done, err, n_in, H = jax.lax.while_loop(cond, body, init)
+            # voxel targets: hash lookup is O(source) — subsampling the
+            # source already cuts the coarse iteration cost by stride
+            tgt_c = target
+        # always leave >=1 fine iteration for any row with a budget:
+        # `converged` (and the solution Hessian/inlier count) comes from
+        # the full-resolution stage, so a coarse-only row would read as
+        # permanently non-converged (keep-last death spiral, CLAUDE.md)
+        budget_c = jnp.minimum(params.reg_coarse_iterations,
+                               jnp.maximum(max_iters - 1, 0))
+        pose_c, it_c, _, _, _, _ = run_stage(src_c, tgt_c, pose0, budget_c)
+        budget_f = jnp.maximum(max_iters - budget_c, 0)
+        pose, it_f, done, err, n_in, H = run_stage(source, target, pose_c,
+                                                   budget_f)
+        iters = it_c + it_f
+    else:
+        pose, iters, done, err, n_in, H = run_stage(source, target, pose0,
+                                                    max_iters)
     # hasConverged() semantics (small_gicp): the update-norm criterion was
     # hit within the iteration budget AND correspondences existed at the
     # solution. Running out of iterations or losing all correspondences is

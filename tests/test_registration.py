@@ -210,6 +210,51 @@ def test_align_pairs_packed_matches_unpacked(rng):
     assert np.linalg.norm(packed[0, :3] - np.asarray(gt)[:3]) < 0.05
 
 
+@pytest.mark.parametrize("method", ["SMALL_GICP", "FAST_VGICP"])
+def test_coarse_to_fine_matches_full_resolution(rng, method):
+    """Coarse-to-fine GN (stride-subsampled early iterations + full-res
+    polish) must recover the same transform as the single-stage path —
+    it's the tick's main wall lever at production cloud sizes."""
+    pts = structured_scene(rng, n=1500)
+    gt = true_pose()
+    src_pts = np.asarray(se3.pose_apply(se3.pose_inverse(gt),
+                                        jnp.asarray(pts)))
+    target = PointCloud.from_array(pts, capacity=2048)
+    source = PointCloud.from_array(src_pts, capacity=2048)
+    base = RegistrationConfig(registration_method=method,
+                              reg_transformation_epsilon=1e-4,
+                              reg_maximum_iterations=32,
+                              reg_resolution=2.0,
+                              reg_max_correspondence_distance=2.0)
+    coarse = RegistrationConfig(**{**base.__dict__,
+                                   "reg_coarse_stride": 4,
+                                   "reg_coarse_iterations": 24})
+    r_full = reg.align_clouds(base, source, target, se3.pose_identity())
+    r_ctf = reg.align_clouds(coarse, source, target, se3.pose_identity())
+    assert bool(r_ctf.converged)
+    np.testing.assert_allclose(np.asarray(r_ctf.pose)[:3],
+                               np.asarray(r_full.pose)[:3], atol=0.02)
+    assert int(r_ctf.num_inliers) > 500
+    # still accurate against ground truth
+    assert np.linalg.norm(np.asarray(r_ctf.pose)[:3]
+                          - np.asarray(gt)[:3]) < 0.1
+
+
+def test_coarse_to_fine_never_starves_fine_stage(rng):
+    """A budget <= the coarse allocation must still leave >=1 full-res
+    iteration (else every row reads non-converged -> keep-last spiral)."""
+    pts = structured_scene(rng, n=600)
+    pc = PointCloud.from_array(pts, capacity=1024)
+    params = RegistrationConfig(registration_method="SMALL_GICP",
+                                reg_transformation_epsilon=1e-3,
+                                reg_maximum_iterations=8,
+                                reg_coarse_stride=4,
+                                reg_coarse_iterations=8)
+    res = reg.align_clouds(params, pc, pc, se3.pose_identity())
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.pose)[:3], 0, atol=1e-3)
+
+
 @pytest.mark.parametrize("method", ["FAST_VGICP", "NDT"])
 def test_pair_runner_voxel_methods(rng, method):
     """Voxel-target methods (VGICP/NDT) run through the same batched
