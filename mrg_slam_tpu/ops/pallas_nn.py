@@ -6,7 +6,7 @@ TPU: it materializes the (N, M) distance matrix in HBM several times
 runs on the MXU in bf16 by default — at LiDAR coordinate magnitudes that
 corrupts squared distances by ~10 m^2 and flips a third of the argmins.
 This kernel computes exact f32 coordinate differences and never leaves
-VMEM: ~0.45 ms for 8192x8192 on a v5e (vs ~60 ms for the XLA path).
+VMEM: ~0.27 ms for 8192x8192 on a v5e (vs ~60 ms for the XLA path).
 
 Mosaic lessons baked in (measured on v5e, jax 0.9):
 - keep every tensor 2D; 1D vectors and `argmin` miscompile or crawl;
@@ -34,9 +34,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# source rows per grid step / target columns per inner chunk
+# source rows per grid step / target columns per inner chunk. TC sets the
+# grid's inner trip count: fewer, fatter chunks amortize the per-step
+# revisit of the running (min, argmin) blocks. Measured on-chip (64-row
+# vmapped sweep, 8192x8192, fetch-synced): TC 512 -> 0.41 ms/row,
+# 1024 -> 0.30, 2048 -> 0.27 (~1.2x the VPU roofline); BS is flat across
+# 512-2048. TC 2048 with BS 2048 fails to compile (Mosaic internal).
 _BS = 1024
-_TC = 512
+_TC = 2048
 _NO_MATCH = 1.0e9  # sentinel index when a lane has no d == dmin match
 
 

@@ -24,6 +24,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_nn import _pad_points
 
+# TC stays 512 here: the moments kernel carries (BS, 16) accumulators plus
+# the (BS, TC) distance tile; TC 2048 exceeds the 16M scoped-VMEM budget
+# (measured: 25.2M requested). The plain NN kernel (pallas_nn) runs TC 2048.
 _BS = 1024
 _TC = 512
 
