@@ -20,18 +20,34 @@ import os
 import platform
 
 
-def host_fingerprint() -> str:
-    """Short stable hash of this host's CPU feature set."""
-    feats = ""
+# cpuinfo lines that determine XLA:CPU's target features. `flags` alone is
+# NOT enough: XLA adds pseudo-features like +prefer-no-gather from the
+# microcode-level gather-data-sampling mitigation, which surfaces in the
+# `bugs`/`microcode` lines while the `flags` line stays identical — two
+# such hosts hashed equal and replayed each other's AOT code (the
+# machine-feature mismatch warnings in MULTICHIP_r02's tail reappeared in
+# round 3 despite the flags-only fingerprint).
+_CPUINFO_KEYS = ("vendor_id", "cpu family", "model name", "model",
+                 "stepping", "microcode", "flags", "features", "bugs")
+
+
+def host_fingerprint(cpuinfo_path: str = "/proc/cpuinfo") -> str:
+    """Short stable hash of this host's CPU identity + feature set."""
+    parts = []
     try:
-        with open("/proc/cpuinfo") as f:
+        with open(cpuinfo_path) as f:
+            seen = set()
             for line in f:
-                if line.lower().startswith(("flags", "features")):
-                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                    break
+                if not line.strip():
+                    break  # first processor block only
+                k = line.split(":", 1)[0].strip().lower()
+                if k in _CPUINFO_KEYS and k not in seen:
+                    seen.add(k)
+                    v = " ".join(sorted(line.split(":", 1)[1].split()))
+                    parts.append(f"{k}={v}")
     except OSError:
         pass
-    key = f"{platform.machine()}|{feats}"
+    key = f"{platform.machine()}|" + ";".join(sorted(parts))
     return hashlib.sha1(key.encode()).hexdigest()[:12]
 
 

@@ -178,3 +178,20 @@ def test_cpu_cache_dir_is_host_stable(tmp_path):
     assert d.startswith(str(tmp_path)) and fp1 in d
     import os
     assert os.path.isdir(d)
+
+    # identical `flags` but differing `bugs`/`microcode` must hash apart:
+    # XLA derives +prefer-no-gather from the gather-data-sampling
+    # mitigation, which never shows in the flags line (round-3 AOT
+    # machine-feature mismatch root cause)
+    base = ("vendor_id : GenuineIntel\nmodel name : Xeon\nstepping : 2\n"
+            "flags : sse sse2 avx avx2\n")
+    a = tmp_path / "cpuinfo_a"
+    b = tmp_path / "cpuinfo_b"
+    a.write_text(base + "microcode : 0x1\nbugs : spectre_v1\n\n")
+    b.write_text(base + "microcode : 0x2d000603\n"
+                 "bugs : spectre_v1 gather_data_sampling\n\n")
+    assert host_fingerprint(str(a)) != host_fingerprint(str(b))
+    # second processor block must not perturb the hash
+    a2 = tmp_path / "cpuinfo_a2"
+    a2.write_text(a.read_text().rstrip() + "\n\nflags : different\n")
+    assert host_fingerprint(str(a2)) == host_fingerprint(str(a))
