@@ -25,7 +25,10 @@ The reference publishes no numbers (BASELINE.md); it runs live against a
 frames_per_s / 10 — how many times faster than the sensor the full stack
 runs at production scan sizes.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+Prints a complete JSON result line {"metric", "value", "unit",
+"vs_baseline", "extra"} after EVERY section — the last line on stdout is
+always the most complete result, and a mid-run kill still leaves the
+flagship numbers (see main()).
 """
 
 import dataclasses
@@ -250,7 +253,7 @@ def run_production():
 # multi-robot co-hosting: R robots share the chip's dispatches
 # ---------------------------------------------------------------------------
 
-def run_multirobot_scaling():
+def run_multirobot_scaling(deadline=None):
     """2/3/4 co-hosted robots at the round-2 workload: overlapping circle
     windows, odom + slam-pose broadcasts, on-demand delta-graph exchange
     (PublishGraph), joint optimization with inter-robot loop closures —
@@ -372,6 +375,9 @@ def run_multirobot_scaling():
 
     results = {}
     for R in (2, 3, 4):
+        if deadline is not None and deadline() < 120:
+            log(f"# SKIP {R}-robot run: {deadline():.0f}s budget left")
+            break
         slams, windows = run(R)   # warmup (compiles R-specific programs)
         t0 = time.perf_counter()
         slams, windows = run(R)
@@ -459,40 +465,78 @@ def run_solvers():
 
 
 def main():
+    """Run sections in value order, emitting a complete JSON result line
+    after EACH section. Round-3 postmortem (VERDICT weak #2): deferring
+    the single print to the end let one over-budget section (the 8192
+    solve) destroy the whole artifact (BENCH_r03 rc=124, parsed=null).
+    Now the flagship line lands first and every later section re-emits an
+    extended line — a driver that takes the last JSON line gets everything
+    completed so far; a timeout only costs the sections not yet run.
+    Optional sections are gated on a wall budget (BENCH_BUDGET_S, default
+    1500 s) and skipped with a logged reason when exceeded."""
     import jax
 
-    log(f"# device: {jax.devices()[0]}")
-    prod = run_production()
-    mr = run_multirobot_scaling()
-    sol = run_solvers()
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    log(f"# device: {jax.devices()[0]}; wall budget {budget_s:.0f}s")
 
-    print(json.dumps({
+    result = {
         "metric": "production_full_slam_frames_per_s",
-        "value": round(prod["fps"], 2),
-        "unit": "frames/s",
-        "vs_baseline": round(prod["fps"] / 10.0, 3),
-        "extra": {
-            "scan_points_raw": RAW, "scan_points_working": FILTERED,
-            "frames": N_FRAMES,
-            "keyframes": prod["keyframes"], "loops": prod["loops"],
-            "ate_m": round(prod["ate"], 3),
-            "ate_odometry_only_m": round(prod["ate_odom"], 3),
-            "odometry_frames_per_s": round(prod["odom_fps"], 2),
-            "tick_loop_closure_ms": round(prod["loop_ms"], 1),
-            "tick_optimize_ms": round(prod["opt_ms"], 1),
-            "store_growth_ticks": prod["growth"],
-            "two_robot_scans_per_s": round(mr[2]["scans_per_s"], 2),
-            "three_robot_scans_per_s": round(mr[3]["scans_per_s"], 2),
-            "four_robot_scans_per_s": round(mr[4]["scans_per_s"], 2),
-            "two_robot_worst_ate_m": round(mr[2]["worst_ate"], 3),
-            "four_robot_worst_ate_m": round(mr[4]["worst_ate"], 3),
-            "two_robot_exchanged_mb": round(mr[2]["mb"], 2),
+        "value": None, "unit": "frames/s", "vs_baseline": None,
+        "extra": {},
+    }
+
+    def emit():
+        print(json.dumps(result), flush=True)
+
+    def remaining():
+        return budget_s - (time.perf_counter() - t_start)
+
+    prod = run_production()
+    result["value"] = round(prod["fps"], 2)
+    result["vs_baseline"] = round(prod["fps"] / 10.0, 3)
+    result["extra"].update({
+        "scan_points_raw": RAW, "scan_points_working": FILTERED,
+        "frames": N_FRAMES,
+        "keyframes": prod["keyframes"], "loops": prod["loops"],
+        "ate_m": round(prod["ate"], 3),
+        "ate_odometry_only_m": round(prod["ate_odom"], 3),
+        "odometry_frames_per_s": round(prod["odom_fps"], 2),
+        "tick_loop_closure_ms": round(prod["loop_ms"], 1),
+        "tick_optimize_ms": round(prod["opt_ms"], 1),
+        "store_growth_ticks": prod["growth"],
+    })
+    emit()
+
+    # generous floors: each optional section's cold cost is dominated by
+    # one-time TPU compiles (~1-3 min); skip rather than truncate the
+    # artifact when the budget cannot cover that
+    if remaining() > 240:
+        sol = run_solvers()
+        result["extra"].update({
             "solve_1024_node_ms": round(sol["solve_1024_dense_ms"], 1),
             "solve_1024_chain_ms": round(sol["solve_1024_chain_ms"], 1),
             "solve_8192_chain_ms": round(sol["solve_8192_chain_ms"], 1),
             "chain_dense_chi2_rel": float(f"{sol['chain_dense_chi2_rel']:.2e}"),
-        },
-    }))
+        })
+        emit()
+    else:
+        log(f"# SKIP solver section: {remaining():.0f}s left < 240s floor")
+
+    if remaining() > 300:
+        mr = run_multirobot_scaling(deadline=lambda: remaining())
+        for R, r in mr.items():
+            word = {2: "two", 3: "three", 4: "four"}[R]
+            result["extra"].update({
+                f"{word}_robot_scans_per_s": round(r["scans_per_s"], 2),
+                f"{word}_robot_worst_ate_m": round(r["worst_ate"], 3),
+            })
+        if 2 in mr:
+            result["extra"]["two_robot_exchanged_mb"] = round(mr[2]["mb"], 2)
+        emit()
+    else:
+        log(f"# SKIP multi-robot section: {remaining():.0f}s left "
+            f"< 300s floor")
 
 
 if __name__ == "__main__":

@@ -183,10 +183,18 @@ def config4_two_robot(n_frames=100) -> Dict:
 def build_ring_graph(n_nodes=256, capacity_nodes=None, capacity_edges=None,
                      backend="cg", seed=3, noise_scale=0.03):
     """Noisy ring pose graph with one loop edge — the synthetic workload
-    for solver benchmarks and the distributed-parity config."""
+    for solver benchmarks and the distributed-parity config.
+
+    The exp maps run as TWO vmapped device calls for the whole ring; the
+    sequential estimate accumulation uses the numpy pose mirrors
+    (utils/se3np.py). Per-node jitted dispatches cost ~7 ms each on the
+    CPU backend — at 8192 nodes that was 246 s of host wall and the
+    direct cause of BENCH_r03's rc=124 (the bench died building the
+    8192-node graph, not solving it)."""
     from ..config import OptimizerConfig
     from ..graph.builder import GraphSLAM
-    from ..utils import se3
+    from ..utils import se3, se3np
+    import jax
     import jax.numpy as jnp
 
     rng = np.random.default_rng(seed)
@@ -194,27 +202,25 @@ def build_ring_graph(n_nodes=256, capacity_nodes=None, capacity_edges=None,
     gs = GraphSLAM(OptimizerConfig(solver_backend=backend),
                    capacity_nodes=capacity_nodes or max(n_nodes, 64),
                    capacity_edges=capacity_edges or 2 * n_nodes)
-    gt, est, ids = [], [], []
-    for i in range(n_nodes):
-        th = 2 * np.pi * i / n_nodes
-        gt.append(np.asarray(se3.pose_exp(jnp.asarray(
-            [20 * np.cos(th), 20 * np.sin(th), 0, 0, 0, th],
-            dtype=jnp.float32))))
-    est.append(gt[0])
-    ids.append(gs.add_se3_node(gt[0], fixed=True))
+    th = 2 * np.pi * np.arange(n_nodes) / n_nodes
+    twists = np.stack([20 * np.cos(th), 20 * np.sin(th), np.zeros(n_nodes),
+                       np.zeros(n_nodes), np.zeros(n_nodes), th],
+                      axis=1).astype(np.float32)
+    gt = np.asarray(jax.vmap(se3.pose_exp)(jnp.asarray(twists)))
+    # one (n-1, 6) draw consumes the generator identically to the n-1
+    # sequential size-6 draws the scalar version made -> same graphs
+    noise = np.asarray(jax.vmap(se3.pose_exp)(jnp.asarray(
+        rng.normal(scale=noise_scale,
+                   size=(n_nodes - 1, 6)).astype(np.float32))))
+    est, ids = [gt[0]], [gs.add_se3_node(gt[0], fixed=True)]
     for i in range(1, n_nodes):
-        rel = np.asarray(se3.pose_between(jnp.asarray(gt[i - 1]),
-                                          jnp.asarray(gt[i])))
-        noise = np.asarray(se3.pose_exp(jnp.asarray(
-            rng.normal(scale=noise_scale, size=6).astype(np.float32))))
-        reln = np.asarray(se3.pose_compose(jnp.asarray(rel),
-                                           jnp.asarray(noise)))
-        est.append(np.asarray(se3.pose_compose(jnp.asarray(est[-1]),
-                                               jnp.asarray(reln))))
+        rel = se3np.pose_between(gt[i - 1], gt[i])
+        reln = se3np.pose_compose(rel, noise[i - 1])
+        est.append(se3np.pose_compose(est[-1], reln))
         ids.append(gs.add_se3_node(est[-1]))
         gs.add_se3_edge(ids[i - 1], ids[i], reln, info)
-    gs.add_se3_edge(ids[-1], ids[0], np.asarray(se3.pose_between(
-        jnp.asarray(gt[-1]), jnp.asarray(gt[0]))), info * 4)
+    gs.add_se3_edge(ids[-1], ids[0],
+                    se3np.pose_between(gt[-1], gt[0]), info * 4)
     return gs
 
 
