@@ -30,9 +30,19 @@ import platform
 _CPUINFO_KEYS = ("vendor_id", "cpu family", "model name", "model",
                  "stepping", "microcode", "flags", "features", "bugs")
 
+# Kernel mitigation state directory. The +prefer-no-gather/-no-scatter
+# pseudo-features XLA bakes into AOT code track the KERNEL's mitigation
+# status (e.g. gather_data_sampling "Mitigation: Microcode" vs "Not
+# affected"), which two VMs with byte-identical /proc/cpuinfo first blocks
+# can disagree on — the round-3 collision (MULTICHIP_r03 tail) was exactly
+# such a pair. Hash every vulnerability file's content too.
+_VULN_DIR = "/sys/devices/system/cpu/vulnerabilities"
 
-def host_fingerprint(cpuinfo_path: str = "/proc/cpuinfo") -> str:
-    """Short stable hash of this host's CPU identity + feature set."""
+
+def host_fingerprint(cpuinfo_path: str = "/proc/cpuinfo",
+                     vuln_dir: str = _VULN_DIR) -> str:
+    """Short stable hash of this host's CPU identity + feature set +
+    kernel mitigation state."""
     parts = []
     try:
         with open(cpuinfo_path) as f:
@@ -45,6 +55,15 @@ def host_fingerprint(cpuinfo_path: str = "/proc/cpuinfo") -> str:
                     seen.add(k)
                     v = " ".join(sorted(line.split(":", 1)[1].split()))
                     parts.append(f"{k}={v}")
+    except OSError:
+        pass
+    try:
+        for name in sorted(os.listdir(vuln_dir)):
+            try:
+                with open(os.path.join(vuln_dir, name)) as f:
+                    parts.append(f"vuln:{name}={f.read().strip()}")
+            except OSError:
+                pass
     except OSError:
         pass
     key = f"{platform.machine()}|" + ";".join(sorted(parts))

@@ -195,3 +195,21 @@ def test_cpu_cache_dir_is_host_stable(tmp_path):
     a2 = tmp_path / "cpuinfo_a2"
     a2.write_text(a.read_text().rstrip() + "\n\nflags : different\n")
     assert host_fingerprint(str(a2)) == host_fingerprint(str(a))
+
+    # byte-identical /proc/cpuinfo but differing KERNEL mitigation state
+    # must hash apart: XLA's +prefer-no-gather AOT pseudo-feature tracks
+    # the gather_data_sampling mitigation status, which two VMs with equal
+    # cpuinfo disagreed on (MULTICHIP_r03 tail — the surviving collision
+    # after the bugs/microcode fix)
+    v1 = tmp_path / "vuln1"
+    v2 = tmp_path / "vuln2"
+    v1.mkdir()
+    v2.mkdir()
+    (v1 / "gather_data_sampling").write_text("Not affected\n")
+    (v2 / "gather_data_sampling").write_text("Mitigation: Microcode\n")
+    for v in (v1, v2):
+        (v / "spectre_v2").write_text("Mitigation: Enhanced IBRS\n")
+    fa = host_fingerprint(str(a), vuln_dir=str(v1))
+    fb = host_fingerprint(str(a), vuln_dir=str(v2))
+    assert fa != fb
+    assert fa == host_fingerprint(str(a), vuln_dir=str(v1))
