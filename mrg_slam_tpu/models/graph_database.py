@@ -80,27 +80,67 @@ class GraphDatabase:
         # reason, mrg_slam_component.cpp:805-817)
         self.queue_lock = threading.Lock()
 
-        self.prev_robot_keyframe: Optional[KeyFrame] = None
-        self.anchor_kf: Optional[KeyFrame] = None
-        self.anchor_edge: Optional[Edge] = None
-        self.odom_keyframe_counter = 0
+        # Per-robot chain state. The classic deployment holds ONE chain
+        # (own_name); the shared-graph co-hosting mode
+        # (models/shared_graph.py) ingests several robots' chains into one
+        # store, each with its own previous keyframe, anchor, and counter.
+        # The singular `prev_robot_keyframe` / `anchor_kf` / `anchor_edge`
+        # / `odom_keyframe_counter` names remain as own-robot views.
+        self._prev_kf: Dict[str, KeyFrame] = {}
+        self._anchors: Dict[str, Tuple[KeyFrame, Edge]] = {}
+        self._odom_counters: Dict[str, int] = {}
         self._save_counter = 0  # save_keyframe_poses file numbering
         # latest keyframe per other robot: name -> (uuid, odom pose)
         self.others_last_kf: Dict[str, Tuple[str, np.ndarray]] = {}
+
+    # -- own-robot views of the per-chain state -------------------------
+    @property
+    def prev_robot_keyframe(self) -> Optional[KeyFrame]:
+        return self._prev_kf.get(self.own_name)
+
+    @prev_robot_keyframe.setter
+    def prev_robot_keyframe(self, kf: Optional[KeyFrame]) -> None:
+        if kf is None:
+            self._prev_kf.pop(self.own_name, None)
+        else:
+            self._prev_kf[self.own_name] = kf
+
+    def prev_keyframe_of(self, robot_name: str) -> Optional[KeyFrame]:
+        return self._prev_kf.get(robot_name)
+
+    @property
+    def anchor_kf(self) -> Optional[KeyFrame]:
+        pair = self._anchors.get(self.own_name)
+        return pair[0] if pair else None
+
+    @property
+    def anchor_edge(self) -> Optional[Edge]:
+        pair = self._anchors.get(self.own_name)
+        return pair[1] if pair else None
+
+    @property
+    def odom_keyframe_counter(self) -> int:
+        return self._odom_counters.get(self.own_name, 0)
 
     # ------------------------------------------------------------------
     # ingest
     # ------------------------------------------------------------------
     def add_odom_keyframe(self, stamp: float, odom: np.ndarray,
-                          accum_distance: float,
-                          cloud: PointCloud) -> KeyFrame:
-        """graph_database.cpp:35: assign uuid + counter, queue for flush."""
-        kf = KeyFrame(robot_name=self.own_name, stamp=stamp,
+                          accum_distance: float, cloud: PointCloud,
+                          robot_name: Optional[str] = None,
+                          slam_uuid: Optional[str] = None) -> KeyFrame:
+        """graph_database.cpp:35: assign uuid + counter, queue for flush.
+
+        `robot_name`/`slam_uuid` override the defaults for the shared-graph
+        co-hosting mode, where one store ingests several robots' chains."""
+        name = robot_name or self.own_name
+        counter = self._odom_counters.get(name, 0)
+        kf = KeyFrame(robot_name=name, stamp=stamp,
                       odom=np.asarray(odom, np.float32),
                       accum_distance=accum_distance, cloud=cloud,
-                      slam_uuid=self.slam_uuid,
-                      odom_counter=self.odom_keyframe_counter)
-        self.odom_keyframe_counter += 1
+                      slam_uuid=slam_uuid or self.slam_uuid,
+                      odom_counter=counter)
+        self._odom_counters[name] = counter + 1
         with self.queue_lock:
             self.keyframe_queue.append(kf)
         return kf
@@ -128,6 +168,10 @@ class GraphDatabase:
         (the reference runs one kd-tree pass per edge inline,
         graph_database.cpp:139-142). With the default, information is
         computed inline per edge, as in round 1.
+
+        `odom2map` is either one 7-pose (the single-chain deployment) or a
+        dict robot_name -> 7-pose (shared-graph co-hosting, where each
+        robot's chain carries its own odom->map transform).
         """
         with self.queue_lock:
             if not self.keyframe_queue:
@@ -139,17 +183,19 @@ class GraphDatabase:
         pending: List[Edge] = []
         const_info = self.cfg.inf_matrix.use_const_inf_matrix
         for kf in batch:
-            est = se3np.pose_compose(odom2map, kf.odom)
+            o2m = (odom2map[kf.robot_name] if isinstance(odom2map, dict)
+                   else odom2map)
+            est = se3np.pose_compose(o2m, kf.odom)
             kf.node_id = self.graph.add_se3_node(est)
             self.uuid_keyframe_map[kf.uuid] = kf
             self.new_keyframes.append(kf)
 
-            if self.prev_robot_keyframe is None:
+            if kf.robot_name not in self._prev_kf:
                 self._handle_first_keyframe(kf, est)
-                self.prev_robot_keyframe = kf
+                self._prev_kf[kf.robot_name] = kf
                 continue
 
-            prev = self.prev_robot_keyframe
+            prev = self._prev_kf[kf.robot_name]
             rel = se3np.pose_between(kf.odom, prev.odom)
             if const_info:
                 info = self.inf_calculator.from_fitness(0.0)
@@ -173,7 +219,7 @@ class GraphDatabase:
             pending.append(edge)
             kf.prev_edge = edge
             prev.next_edge = edge
-            self.prev_robot_keyframe = kf
+            self._prev_kf[kf.robot_name] = kf
         return pending
 
     def finalize_edges(self, edges: Sequence[Edge],
@@ -212,19 +258,19 @@ class GraphDatabase:
         info = np.diag(1.0 / (std * std)).astype(np.float32)
         anchor_id = self.graph.add_se3_node(se3np.pose_identity(),
                                            fixed=True)
-        self.anchor_kf = KeyFrame(
-            robot_name=self.own_name, stamp=0.0,
+        anchor_kf = KeyFrame(
+            robot_name=kf.robot_name, stamp=0.0,
             odom=se3np.pose_identity(), accum_distance=-1.0,
-            cloud=PointCloud.empty(1), slam_uuid=self.slam_uuid,
+            cloud=PointCloud.empty(1), slam_uuid=kf.slam_uuid,
             odom_counter=-1)
-        self.anchor_kf.node_id = anchor_id
-        self.uuid_keyframe_map[self.anchor_kf.uuid] = self.anchor_kf
-        edge = Edge(type=EDGE_ANCHOR, from_uuid=self.anchor_kf.uuid,
+        anchor_kf.node_id = anchor_id
+        self.uuid_keyframe_map[anchor_kf.uuid] = anchor_kf
+        edge = Edge(type=EDGE_ANCHOR, from_uuid=anchor_kf.uuid,
                     to_uuid=kf.uuid, relative_pose=est, information=info,
                     from_readable="anchor", to_readable=kf.readable_id)
         edge.edge_id = self.graph.add_se3_edge(anchor_id, kf.node_id, est,
                                                info)
-        self.anchor_edge = edge
+        self._anchors[kf.robot_name] = (anchor_kf, edge)
         self._register_edge(edge)
 
     def _register_edge(self, edge: Edge) -> None:
@@ -386,14 +432,14 @@ class GraphDatabase:
         if self.anchor_kf is None:
             anchor_id = self.graph.add_se3_node(se3np.pose_identity(),
                                                 fixed=True)
-            self.anchor_kf = KeyFrame(
+            anchor_kf = KeyFrame(
                 robot_name=self.own_name, stamp=0.0,
                 odom=se3np.pose_identity(), accum_distance=-1.0,
                 cloud=PointCloud.empty(1), slam_uuid=self.slam_uuid,
                 odom_counter=-1)
-            self.anchor_kf.node_id = anchor_id
-            self.uuid_keyframe_map[self.anchor_kf.uuid] = self.anchor_kf
-            self.anchor_edge = edge
+            anchor_kf.node_id = anchor_id
+            self.uuid_keyframe_map[anchor_kf.uuid] = anchor_kf
+            self._anchors[self.own_name] = (anchor_kf, edge)
         # alias the loaded anchor uuid to our anchor so re-saves and g2o
         # export resolve the edge without rewriting its stored uuids
         self.uuid_keyframe_map.setdefault(edge.from_uuid, self.anchor_kf)
