@@ -89,7 +89,10 @@ def _worker_main(arg_blob: bytes) -> None:
         ev, holder = threading.Event(), {}
         with pending_lock:
             pending.append((req, ev, holder))
-        ev.wait(timeout=15.0)
+        # requesters serve their own pending queue while blocked on us
+        # (call_serving below), so this only expires if the peer process
+        # died mid-run — the requester then fails loudly, not silently
+        ev.wait(timeout=30.0)
         return holder.get("resp")
 
     def serve_pending() -> None:
@@ -119,6 +122,8 @@ def _worker_main(arg_blob: bytes) -> None:
     # 10**9 = window finished, never block on us again
     progress = {"frame": -1}
     server.advertise("progress", lambda _: progress["frame"])
+    final_done = {"done": False}
+    server.advertise("final_done", lambda _: final_done["done"])
 
     # handshake: report our bound port, wait for peer addresses
     with open(job.handshake_path, "w") as f:
@@ -141,9 +146,44 @@ def _worker_main(arg_blob: bytes) -> None:
         time.sleep(0.05)
     assert len(peers) == len(peer_names), f"peers missing: {peers.keys()}"
 
+    def call_serving(peer_name: str, endpoint: str, payload):
+        """Blocking service call that keeps serving OUR publish_graph
+        queue while the request is in flight.
+
+        Two robots draining simultaneously used to deadlock-by-timeout:
+        each main thread blocked inside the other's publish_graph call,
+        neither reached serve_pending, both requests expired at the
+        15 s handler timeout, and the exchange dropped SILENTLY — the
+        round-3 flake (`remote_keyframes: 0` under -n 4 suite load).
+        The socket wait moves to a helper thread (pure IO, no jax); the
+        main thread services peers until the response lands."""
+        out = {}
+        done = threading.Event()
+
+        def runner():
+            try:
+                out["resp"] = peers[peer_name].call(endpoint, payload)
+            finally:
+                done.set()
+
+        t = threading.Thread(target=runner, daemon=True)
+        t.start()
+        while not done.wait(timeout=0.005):
+            serve_pending()
+        t.join()
+        return out.get("resp")
+
     def request_fn(peer_name: str, req):
-        graph = peers[peer_name].call("publish_graph", req)
-        return dequantize_graph_msg(graph) if graph is not None else None
+        graph = call_serving(peer_name, "publish_graph", req)
+        if graph is None:
+            # a dropped exchange is a LOUD failure in the harness: the
+            # reference tolerates service timeouts because its robots are
+            # long-lived and retry forever (mrg_slam_component.cpp:617-625);
+            # a finite deterministic run must not "succeed" with zero
+            # merged keyframes
+            raise RuntimeError(
+                f"{job.name}: publish_graph to {peer_name} dropped")
+        return dequantize_graph_msg(graph)
 
     def drain(now: float) -> None:
         serve_pending()
@@ -192,27 +232,35 @@ def _worker_main(arg_blob: bytes) -> None:
                 for c in peers.values():
                     c.call("slam_pose", sp)
     progress["frame"] = 10**9  # window done: release any waiting peer
-    # END-OF-RUN RENDEZVOUS: a robot that finished its window must keep
-    # serving publish_graph until every peer has finished too, or peers
-    # with later windows lose their final exchanges (observed: 0 remote
-    # keyframes at 60 frames because alpha exited while bravo's last
-    # slam-pose drain was still requesting). The reference's robots are
-    # long-lived processes; the harness-imposed end needs this barrier.
-    deadline = time.time() + 60.0
-    while time.time() < deadline:
-        serve_pending()
-        prog = [peers[n].call("progress", None) for n in peer_names]
-        if all(p is not None and p >= 10**9 for p in prog):
-            break
-        time.sleep(0.05)
-    time.sleep(0.3)  # let the last broadcasts land
+    # END-OF-RUN RENDEZVOUS — explicit three-phase protocol (the former
+    # sleep/2-s-grace rendezvous dropped exchanges under CPU contention):
+    #   B. barrier: every robot reaches end-of-window (serving all along);
+    #   C. one deterministic final pull of every peer's delta graph
+    #      (RequestGraphs semantics, mrg_slam_component.cpp:1249 — the
+    #      reference's join-late flow), so the final merge no longer
+    #      depends on a last slam-pose broadcast landing in time;
+    #   D. serve until every peer reports its final pull done, so nobody
+    #      closes while a peer's phase-C request is in flight.
+    # Each wait raises on expiry instead of proceeding silently.
+    def barrier(endpoint, ok, what):
+        deadline = time.time() + 120.0
+        while time.time() < deadline:
+            serve_pending()
+            vals = [call_serving(n, endpoint, None) for n in peer_names]
+            if all(ok(v) for v in vals):
+                return
+            time.sleep(0.02)
+        raise RuntimeError(f"{job.name}: barrier '{what}' timed out")
+
+    barrier("progress", lambda p: p is not None and p >= 10**9,
+            "end-of-window")
+    n_pulled = slam.request_graphs(peer_names, now=hi * 0.1,
+                                   request_fn=request_fn)
+    assert n_pulled == len(peer_names), (n_pulled, peer_names)
+    final_done["done"] = True
+    barrier("final_done", bool, "final-pull")
     drain(hi * 0.1)
     slam.optimization_tick(now=hi * 0.1)
-    # serve peers' own final-drain requests before closing
-    t_end = time.time() + 2.0
-    while time.time() < t_end:
-        serve_pending()
-        time.sleep(0.05)
     wall = time.perf_counter() - t_run
 
     own = sorted(slam.db.own_keyframes(), key=lambda k: k.stamp)
