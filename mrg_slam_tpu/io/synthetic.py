@@ -25,13 +25,21 @@ class SyntheticWorld:
     min_range: float = 0.5
     noise: float = 0.01
     max_points_per_scan: int = 8192
+    # moving objects (cars/pedestrians): (D,3) start centers, (D,3)
+    # velocities, (D,) radii. They inject non-static cluster points into
+    # scans AND occlude the static world behind them — the dataset
+    # realism axis the reference gets for free from KITTI's traffic
+    dyn_p0: np.ndarray = None
+    dyn_vel: np.ndarray = None
+    dyn_size: np.ndarray = None
 
     @staticmethod
     def build(seed: int = 0, extent: float = 60.0, n_ground: int = 60000,
               n_pillars: int = 40, n_walls: int = 12,
               max_range: float = 35.0, noise: float = 0.01,
               max_points_per_scan: int = 8192,
-              flat_ground: bool = False) -> "SyntheticWorld":
+              flat_ground: bool = False,
+              n_dynamic: int = 0) -> "SyntheticWorld":
         rng = np.random.default_rng(seed)
         pts: List[np.ndarray] = []
         # ground: gently undulating by default, exactly planar for
@@ -65,21 +73,70 @@ class SyntheticWorld:
             pts.append(np.stack([x0 + s * np.cos(ang), y0 + s * np.sin(ang), z],
                                 axis=1))
         world = np.concatenate(pts).astype(np.float32)
+        dyn_p0 = dyn_vel = dyn_size = None
+        if n_dynamic:
+            dyn_p0 = np.stack([
+                rng.uniform(-0.7 * extent, 0.7 * extent, n_dynamic),
+                rng.uniform(-0.7 * extent, 0.7 * extent, n_dynamic),
+                np.full(n_dynamic, 0.8)], axis=1).astype(np.float32)
+            ang = rng.uniform(0, 2 * np.pi, n_dynamic)
+            speed = rng.uniform(0.5, 2.0, n_dynamic)
+            dyn_vel = np.stack([speed * np.cos(ang), speed * np.sin(ang),
+                                np.zeros(n_dynamic)], axis=1).astype(
+                                    np.float32)
+            dyn_size = rng.uniform(0.6, 1.4, n_dynamic).astype(np.float32)
         return SyntheticWorld(points=world, rng=rng, max_range=max_range,
                               noise=noise,
-                              max_points_per_scan=max_points_per_scan)
+                              max_points_per_scan=max_points_per_scan,
+                              dyn_p0=dyn_p0, dyn_vel=dyn_vel,
+                              dyn_size=dyn_size)
 
-    def scan(self, pose: np.ndarray, seed: int = 0) -> np.ndarray:
-        """LiDAR scan in the sensor frame at 7-vec pose [t, q(wxyz)]."""
-        t = pose[:3]
-        d = self.points - t[None, :]
+    def scan(self, pose: np.ndarray, seed: int = 0,
+             t: float = 0.0) -> np.ndarray:
+        """LiDAR scan in the sensor frame at 7-vec pose [t, q(wxyz)].
+
+        With dynamic objects (`build(n_dynamic=...)`), `t` is the scan
+        time: each object sits at p0 + vel*t, contributes its own surface
+        cluster to the scan, and SHADOWS the static world behind it
+        (points whose line of sight passes within the object's radius are
+        dropped) — moving occluders like KITTI's traffic, which loop
+        closure and odometry must reject as non-repeatable structure."""
+        tr = pose[:3]
+        d = self.points - tr[None, :]
         dist = np.linalg.norm(d, axis=1)
         sel = (dist < self.max_range) & (dist > self.min_range)
         local = d[sel]
+        srng = np.random.default_rng(seed)
+        if self.dyn_p0 is not None:
+            centers = self.dyn_p0 + self.dyn_vel * t   # world frame
+            c_rel = centers - tr[None, :]
+            ldist = np.linalg.norm(local, axis=1)
+            vhat = local / np.maximum(ldist, 1e-6)[:, None]
+            occluded = np.zeros(local.shape[0], bool)
+            for m in range(centers.shape[0]):
+                along = vhat @ c_rel[m]
+                perp2 = float(c_rel[m] @ c_rel[m]) - along ** 2
+                occluded |= ((perp2 < self.dyn_size[m] ** 2)
+                             & (along > 0) & (along < ldist))
+            local = local[~occluded]
+            # the objects' own surfaces enter the scan
+            blobs = []
+            for m in range(centers.shape[0]):
+                if np.linalg.norm(c_rel[m]) > self.max_range:
+                    continue
+                n = 150
+                th = srng.uniform(0, 2 * np.pi, n)
+                z = srng.uniform(-0.7, 0.7, n)
+                r = self.dyn_size[m]
+                blobs.append(np.stack([
+                    c_rel[m][0] + r * np.cos(th),
+                    c_rel[m][1] + r * np.sin(th),
+                    c_rel[m][2] + z], axis=1))
+            if blobs:
+                local = np.concatenate([local] + blobs)
         # world->sensor rotation: R^T
         R = _quat_to_mat_np(pose[3:7])
         local = local @ R  # == R.T @ d per point
-        srng = np.random.default_rng(seed)
         if local.shape[0] > self.max_points_per_scan:
             idx = srng.choice(local.shape[0], self.max_points_per_scan,
                               replace=False)

@@ -61,13 +61,14 @@ def _base_cfg():
                         robot_remove_points_radius=0.0))
 
 
-def _world(seed=21, flat_ground=False):
+def _world(seed=21, flat_ground=False, n_dynamic=0):
     from ..io.synthetic import SyntheticWorld
 
     return SyntheticWorld.build(seed=seed, extent=35.0, n_ground=30000,
                                 n_pillars=30, n_walls=12,
                                 max_points_per_scan=8192, noise=0.02,
-                                flat_ground=flat_ground)
+                                flat_ground=flat_ground,
+                                n_dynamic=n_dynamic)
 
 
 def config1_odometry_only(n_frames=120) -> Dict:
@@ -180,6 +181,94 @@ def config4_two_robot(n_frames=100) -> Dict:
             "frames": n_frames}
 
 
+def config6_reversed_encounter(n_frames=120) -> Dict:
+    """Two robots traverse the SAME circle in opposite directions — robot
+    B plays its window backwards — so they drive toward each other and
+    the overlap forces opposing-approach inter-robot loop closures. The
+    reference built a dataset variant for exactly this
+    (kitti_multirobot_reversed_processor.py); split_frames' reversed
+    windows are its equivalent here."""
+    from ..io.synthetic import circle_trajectory
+    from ..utils.metrics import ate_rmse
+    from .multirobot_split import split_frames, split_windows
+    from .replay import Robot, replay_multirobot
+
+    cfg = _base_cfg()
+    cfg = dataclasses.replace(cfg, slam=dataclasses.replace(
+        cfg.slam,
+        exchange=dataclasses.replace(cfg.slam.exchange,
+                                     graph_request_min_time_delay=0.5,
+                                     graph_request_min_accum_dist=1.0)))
+    world = _world()
+    traj = circle_trajectory(n_frames, radius=14.0, laps=1.0)
+    frames = [(i * 0.1, world.scan(p, seed=i)) for i, p in enumerate(traj)]
+    overlap = 0.35
+    windows = split_windows(n_frames, 2, overlap)
+    per_robot = split_frames(frames, 2, overlap, reversed_robots=(1,))
+    names = ["atlas", "bestla"]
+
+    def ip(p):
+        yaw = 2.0 * np.arctan2(p[6], p[3])
+        return (float(p[0]), float(p[1]), float(p[2]), float(yaw), 0.0, 0.0)
+
+    # B's first frame is its window's LAST capture: its odom frame maps to
+    # that pose (the scan keeps the original capture heading)
+    init_poses = {"atlas": ip(traj[windows[0][0]]),
+                  "bestla": ip(traj[windows[1][1] - 1])}
+    robots = {}
+    for name, robot_frames in zip(names, per_robot):
+        slam_cfg = dataclasses.replace(cfg.slam, own_name=name,
+                                       multi_robot_names=tuple(names),
+                                       init_pose=init_poses[name])
+        robots[name] = Robot(dataclasses.replace(cfg, slam=slam_cfg))
+    results = replay_multirobot(robots, dict(zip(names, per_robot)),
+                                tick_every=8)
+
+    ates, inter_loops = {}, {}
+    for name, (s, e) in zip(names, windows):
+        db = robots[name].slam.db
+        own = sorted((k for k in db.keyframes + db.new_keyframes
+                      if k.robot_name == name and k.odom_counter >= 0),
+                     key=lambda k: k.stamp)
+        if not own:
+            ates[name] = None
+            continue
+        est = np.stack([k.estimate(db.graph) for k in own])
+        idx = []
+        for k in own:
+            j = int(round(k.stamp / 0.1)) - s
+            idx.append(e - 1 - j if name == "bestla" else s + j)
+        ates[name] = ate_rmse(est[:, :3], traj[np.clip(idx, 0,
+                                                       n_frames - 1)][:, :3])
+        inter_loops[name] = sum(
+            1 for ed in db.edges if ed.type == "loop"
+            and db.uuid_keyframe_map[ed.from_uuid].robot_name
+            != db.uuid_keyframe_map[ed.to_uuid].robot_name)
+    return {"config": "6_reversed_encounter", "ate_rmse": ates,
+            "inter_robot_loops": inter_loops, "frames": n_frames}
+
+
+def config7_dynamic_world(n_frames=110) -> Dict:
+    """Single-robot SLAM through moving occluders: dynamic objects inject
+    non-repeatable cluster points AND shadow the static structure behind
+    them (io/synthetic.py scan(t=...)) — the traffic realism KITTI gives
+    the reference for free. Odometry and loop closure must stay accurate
+    despite ~6 moving objects corrupting every scan."""
+    from ..io.synthetic import circle_trajectory
+    from .replay import Robot, replay
+
+    cfg = _base_cfg()
+    world = _world(seed=23, n_dynamic=6)
+    traj = circle_trajectory(n_frames, radius=13.0, laps=1.2)
+    frames = [(i * 0.1, world.scan(p, seed=i, t=i * 0.1))
+              for i, p in enumerate(traj)]
+    res = replay(Robot(cfg), frames, tick_every=20, gt_xyz=traj[:, :3])
+    return {"config": "7_dynamic_objects", "ate_rmse": res.ate,
+            "rpe_rmse": res.rpe, "loops": res.num_loops,
+            "dynamic_objects": 6, "frames": n_frames,
+            "frames_per_s": res.frames_per_s}
+
+
 def build_ring_graph(n_nodes=256, capacity_nodes=None, capacity_edges=None,
                      backend="cg", seed=3, noise_scale=0.03):
     """Noisy ring pose graph with one loop edge — the synthetic workload
@@ -281,7 +370,8 @@ def main(out_path: str = "BASELINE_SYNTH.json",
     if device == "tpu":
         assert on_tpu, f"no TPU available: {jax.devices()}"
     results = [config1_odometry_only(), config2_full_slam(),
-               config3_floor_augmented(), config4_two_robot()]
+               config3_floor_augmented(), config4_two_robot(),
+               config6_reversed_encounter(), config7_dynamic_world()]
     if not on_tpu:
         # config5 needs the 8-device virtual CPU farm, which cannot be
         # created once a real TPU backend is initialized in this process —

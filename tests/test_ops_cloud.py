@@ -156,3 +156,52 @@ def test_voxel_absolute_origin_consistency(rng):
     d, _ = cKDTree(pb).query(pa)
     frac_close = (d < 0.5).mean()
     assert frac_close > 0.9, frac_close
+
+
+def test_synthetic_dynamic_objects_occlude_and_move():
+    """Dynamic objects (io/synthetic.py): moving clusters enter the scan,
+    shadow static structure behind them, move with t, and leave the
+    static-world path byte-identical when disabled."""
+    from mrg_slam_tpu.io.synthetic import SyntheticWorld, _yaw_pose
+
+    w0 = SyntheticWorld.build(seed=9, extent=20.0, n_ground=5000,
+                              n_pillars=5, n_walls=3, noise=0.0)
+    wd = SyntheticWorld.build(seed=9, extent=20.0, n_ground=5000,
+                              n_pillars=5, n_walls=3, noise=0.0,
+                              n_dynamic=4)
+    pose = _yaw_pose(0.0, 0.0, 1.5, 0.0)
+
+    s_static = w0.scan(pose, seed=3)
+    s_t0 = wd.scan(pose, seed=3, t=0.0)
+    s_t5 = wd.scan(pose, seed=3, t=5.0)
+    # same seed+t reproduces exactly; different t moves the objects
+    np.testing.assert_array_equal(s_t0, wd.scan(pose, seed=3, t=0.0))
+    assert s_t0.shape != s_t5.shape or not np.array_equal(s_t0, s_t5)
+    # static world path is untouched when dynamics are off
+    np.testing.assert_array_equal(s_static, w0.scan(pose, seed=3))
+
+    # occlusion: some static points visible at t=0 must be shadowed —
+    # place one object directly between the sensor and a known pillar
+    wd2 = SyntheticWorld.build(seed=9, extent=20.0, n_ground=5000,
+                               n_pillars=5, n_walls=3, noise=0.0,
+                               n_dynamic=1)
+    wd2.dyn_p0[0] = [5.0, 0.0, 1.0]
+    wd2.dyn_vel[0] = [0.0, 0.0, 0.0]
+    wd2.dyn_size[0] = 1.0
+    s_occ = wd2.scan(pose, seed=3, t=0.0)
+    # strict inner shadow cone: rays within 0.6x the occluder's angular
+    # radius, for points beyond it, are guaranteed shadowed
+    c = np.asarray([5.0, 0.0, 1.0 - 1.5])
+    cd = np.linalg.norm(c)
+
+    def shadowed(pts):
+        d = np.linalg.norm(pts, axis=1)
+        u = pts / np.maximum(d, 1e-6)[:, None]
+        cosang = u @ (c / cd)
+        inner = np.cos(0.6 * np.arcsin(min(1.0 / cd, 1.0)))
+        # d > cd + 2.0 clears the occluder's own surface shell (radius
+        # 1.0 + z spread), which legitimately sits inside the cone
+        return int(((cosang > inner) & (d > cd + 2.0)).sum())
+
+    assert shadowed(s_static) > 0
+    assert shadowed(s_occ) == 0
