@@ -255,18 +255,23 @@ def run_production():
 
 def run_multirobot_scaling(deadline=None):
     """2/3/4 co-hosted robots at the round-2 workload: overlapping circle
-    windows, odom + slam-pose broadcasts, on-demand delta-graph exchange
-    (PublishGraph), joint optimization with inter-robot loop closures —
-    the reference's headline deployment (apps/mrg_slam_component.cpp:
-    517-683). Robots batch on the chip: one vmapped odometry dispatch for
-    all R chains (odometry_fused.run_batch_multi), one SharedTick dispatch
-    chain for all R back-ends."""
+    windows through the shared-graph deployment (models/shared_graph.py) —
+    ONE store holds every robot's chain, each new keyframe is loop-matched
+    once against the union (inter-robot closures arise from the shared
+    store, zero exchange bytes between co-hosted robots), and one LM solve
+    per tick optimizes the joint graph. Odometry batches on the chip: one
+    vmapped dispatch for all R chains (odometry_fused.run_batch_multi).
+
+    This replaces the round-3 exchange-based co-hosting whose aggregate
+    throughput DECREASED with R (19.7 scans/s at R=4 vs 41.8 at R=2;
+    phase profile: 76% of wall in R duplicated loop-detection passes).
+    The exchange protocol remains the cross-host deployment — benched by
+    tests/test_multiprocess.py over real TCP."""
     import jax
     import jax.numpy as jnp
 
     from mrg_slam_tpu.models import odometry_fused as fused
-    from mrg_slam_tpu.models.backend import MrgSlam
-    from mrg_slam_tpu.models.coordinator import SharedTick
+    from mrg_slam_tpu.models.shared_graph import SharedGraphSlam
     from mrg_slam_tpu.ops.cloud import PointCloud
     from mrg_slam_tpu.ops.prefilter import prefilter
     from mrg_slam_tpu.utils.metrics import ate_rmse
@@ -304,28 +309,20 @@ def run_multirobot_scaling(deadline=None):
     def run(R):
         windows = windows_for(R)
         names = list(windows)
-        slams = {}
-        for name, (lo, _) in windows.items():
-            cfg_r = dataclasses.replace(
-                slam_cfg, own_name=name, multi_robot_names=tuple(names),
-                init_pose=init_pose_of(np.asarray(traj[lo])))
-            slams[name] = MrgSlam(cfg_r)
-        ticker = SharedTick([slams[n] for n in names])
+        group = SharedGraphSlam(
+            dataclasses.replace(slam_cfg, own_name=names[0],
+                                multi_robot_names=tuple(names)),
+            names,
+            {name: init_pose_of(np.asarray(traj[lo]))
+             for name, (lo, _) in windows.items()})
         carries = jax.tree.map(
             lambda *x: jnp.stack(x),
             *[fused.init_carry(MR_FILTERED) for _ in names])
 
-        def request_fn(peer_name, req):
-            return slams[peer_name].handle_publish_graph(req)
-
         def ingest(name, s, fpts, fmask, poses):
-            slam = slams[name]
             for i in range(poses.shape[0]):
-                bc = slam.process_scan((s + i) * 0.1, poses[i],
-                                       PointCloud(fpts[i], fmask[i]))
-                for other in names:
-                    if other != name:
-                        slams[other].on_odom_broadcast(bc)
+                group.process_scan(name, (s + i) * 0.1, poses[i],
+                                   PointCloud(fpts[i], fmask[i]))
 
         n_local = max(hi - lo for lo, hi in windows.values())
         for s in range(0, n_local, MR_BLOCK):
@@ -360,46 +357,39 @@ def run_multirobot_scaling(deadline=None):
                     carries = jax.tree.map(lambda f, v: f.at[r].set(v),
                                            carries, c_r)
                     ingest(name, s, fpts, fmask, np.asarray(outs.pose))
-            now = (s + MR_BLOCK) * 0.1
-            ticker.tick_all(now=now)  # ONE dispatch chain for all robots
-            for name in names:
-                sp = slams[name].slam_pose_broadcast(now)
-                if sp is None:
-                    continue
-                for other in names:
-                    if other != name:
-                        slams[other].on_slam_pose_broadcast(
-                            sp, now=now, request_fn=request_fn)
-        ticker.tick_all(now=n_local * 0.1)
-        return slams, windows
+            group.optimization_tick(now=(s + MR_BLOCK) * 0.1)
+        group.optimization_tick(now=n_local * 0.1)
+        return group, windows
 
     results = {}
     for R in (2, 3, 4):
         if deadline is not None and deadline() < 120:
             log(f"# SKIP {R}-robot run: {deadline():.0f}s budget left")
             break
-        slams, windows = run(R)   # warmup (compiles R-specific programs)
+        group, windows = run(R)   # warmup (compiles R-specific programs)
         t0 = time.perf_counter()
-        slams, windows = run(R)
+        group, windows = run(R)
         dt = time.perf_counter() - t0
         n_scans = sum(hi - lo for lo, hi in windows.values())
         fps = n_scans / dt
-        ates, n_remote = [], 0
+        ates, inter_loops = [], 0
         for name, (lo, hi) in windows.items():
-            own = sorted(slams[name].db.own_keyframes(), key=lambda k: k.stamp)
-            est = np.stack([k.estimate(slams[name].db.graph) for k in own])
+            own = sorted(group.robot_keyframes(name), key=lambda k: k.stamp)
+            est = np.stack([k.estimate(group.db.graph) for k in own])
             gt = traj[[lo + int(round(k.stamp / 0.1)) for k in own]]
             ates.append(ate_rmse(est[:, :3], np.asarray(gt)[:, :3]))
-            n_remote += sum(1 for k in slams[name].db.keyframes
-                            + slams[name].db.new_keyframes
-                            if k.robot_name != name)
-        xbytes = sum(sum(s.received_graph_bytes) for s in slams.values())
-        log(f"# {R}-robot SLAM: {n_scans} scans in {dt:.3f}s "
+        for e in group.db.edges:
+            if e.type != "loop":
+                continue
+            a = group.db.uuid_keyframe_map[e.from_uuid]
+            b = group.db.uuid_keyframe_map[e.to_uuid]
+            inter_loops += a.robot_name != b.robot_name
+        log(f"# {R}-robot shared-graph SLAM: {n_scans} scans in {dt:.3f}s "
             f"({fps:.1f} scans/s aggregate, {fps / R:.1f}/robot); worst ATE "
-            f"{max(ates):.3f} m, {n_remote} merged remote keyframes, "
-            f"{xbytes / 1e6:.2f} MB exchanged")
+            f"{max(ates):.3f} m, {inter_loops} inter-robot loops, "
+            f"0 exchange bytes (shared store)")
         results[R] = dict(scans_per_s=fps, worst_ate=max(ates),
-                          remote_kf=n_remote, mb=xbytes / 1e6)
+                          inter_loops=inter_loops)
     return results
 
 
@@ -457,11 +447,35 @@ def run_solvers():
     parity = abs(c_chain - c_dense) / max(c_dense, 1e-9)
     log(f"# 1024-node chi2 parity dense vs chain: rel diff {parity:.2e}")
     t_chain8k, c_chain8k = timed_solve(8192, "chain")
+
+    # exact marginals at 8192 nodes from the chain factorization (the
+    # g2o/cholmod any-size sparse-marginals envelope,
+    # graph_slam.cpp:401-425; round-3 verdict #6 bar: < 1 s on-chip)
+    from mrg_slam_tpu.graph.chain_solver import chain_marginals_jit
+    gs8 = build(8192, "chain")
+    g8 = gs8.snapshot()
+    aux8 = solve.chain_aux_for(g8)
+    K8 = solve._chain_K(g8.n_nodes)
+    cov = chain_marginals_jit(g8, aux8, K8)
+    jax.block_until_ready(cov)  # compile
+    ts = []
+    for k in range(3):
+        gk = g8._replace(poses=g8.poses.at[:, :3].add(1e-4 * (k + 1)))
+        jax.block_until_ready(gk.poses)
+        t1 = time.perf_counter()
+        cov = chain_marginals_jit(gk, aux8, K8)
+        jax.block_until_ready(cov)
+        ts.append(time.perf_counter() - t1)
+    t_marg = sorted(ts)[len(ts) // 2]
+    log(f"# 8192-node exact chain marginals {t_marg * 1e3:.1f} ms "
+        f"(reps {[round(t * 1e3, 1) for t in ts]})")
+
     return dict(solve_1024_dense_ms=t_dense * 1e3,
                 solve_1024_chain_ms=t_chain * 1e3,
                 chain_dense_chi2_rel=parity,
                 solve_8192_chain_ms=t_chain8k * 1e3,
-                solve_8192_chi2=c_chain8k)
+                solve_8192_chi2=c_chain8k,
+                marginals_8192_ms=t_marg * 1e3)
 
 
 def main():
@@ -517,6 +531,7 @@ def main():
             "solve_1024_node_ms": round(sol["solve_1024_dense_ms"], 1),
             "solve_1024_chain_ms": round(sol["solve_1024_chain_ms"], 1),
             "solve_8192_chain_ms": round(sol["solve_8192_chain_ms"], 1),
+            "marginals_8192_ms": round(sol["marginals_8192_ms"], 1),
             "chain_dense_chi2_rel": float(f"{sol['chain_dense_chi2_rel']:.2e}"),
         })
         emit()
@@ -530,9 +545,9 @@ def main():
             result["extra"].update({
                 f"{word}_robot_scans_per_s": round(r["scans_per_s"], 2),
                 f"{word}_robot_worst_ate_m": round(r["worst_ate"], 3),
+                f"{word}_robot_inter_loops": r["inter_loops"],
             })
-        if 2 in mr:
-            result["extra"]["two_robot_exchanged_mb"] = round(mr[2]["mb"], 2)
+        result["extra"]["cohosting_mode"] = "shared_graph"
         emit()
     else:
         log(f"# SKIP multi-robot section: {remaining():.0f}s left "

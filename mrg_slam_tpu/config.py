@@ -230,10 +230,16 @@ class OptimizerConfig:
     lm_initial_lambda: float = 1e-6  # -1 semantics: auto from diag(H)
     # dense | cg (block-Jacobi PCG) | chain (segmented block-tridiagonal
     # Cholesky + Woodbury loop correction — the exact large-graph path,
-    # graph/chain_solver.py) | auto (dense up to ~2k nodes, chain past —
-    # the unbounded-growth deployment choice, matching g2o cholmod's
-    # any-size capability)
-    solver_backend: str = "dense"
+    # graph/chain_solver.py) | auto (dense up to ~2k nodes, chain past).
+    # Default "auto": an unbounded live run switches dense -> chain at the
+    # measured threshold instead of dying at the dense HBM wall, matching
+    # g2o cholmod's any-size envelope (graph_slam.cpp:28-30).
+    solver_backend: str = "auto"
+    # "auto" switchover point: dense while 6N+3P <= this (the (dofs)^2
+    # Hessian stays HBM-cheap), chain past it. The default corresponds to
+    # ~2k nodes on a v5e chip; tests lower it to cross the wall at CPU
+    # scale through the same mechanism.
+    auto_dense_max_dofs: int = 12288
     cg_max_iterations: int = 256
     cg_tol: float = 1e-6
     # per-tick marginal covariances attached to map/marker snapshots

@@ -395,8 +395,8 @@ class GraphSLAM:
             from .chordal import chordal_init
             g = g._replace(poses=chordal_init(g))
         aux = None
-        if solve.resolve_backend(cfg.solver_backend, g.n_nodes,
-                                 g.n_planes) == "chain":
+        if solve.resolve_backend(cfg.solver_backend, g.n_nodes, g.n_planes,
+                                 cfg.auto_dense_max_dofs) == "chain":
             # classify coupling edges straight off the host staging
             # buffers (no device fetch)
             from .chain_solver import classify
@@ -410,10 +410,19 @@ class GraphSLAM:
         mode = (marginals_mode if marginals_mode is not None
                 else cfg.per_tick_marginals)
         mode = _resolve_marginals_mode(mode, self.cap)
+        if mode == "cg" and aux is not None:
+            # chain-backend graphs reuse the T+UU^T factorization for the
+            # exact diagonal of H^-1 instead of the batched-CG selected
+            # inverse (round-3 verdict #6; graph_slam.cpp:401-425)
+            mode = "chain"
         cov = None
         if mode and mode != "none" and n:
             g_opt = g._replace(poses=res.poses, planes=res.planes)
-            if mode == "cg":
+            if mode == "chain":
+                from .chain_solver import chain_marginals_jit
+                cov = chain_marginals_jit(
+                    g_opt, aux, solve._chain_K(g_opt.n_nodes))
+            elif mode == "cg":
                 import jax.numpy as jnp
                 # full-capacity index set keeps the jitted selected-inverse
                 # shape stable as nodes are added (invalid slots come back
@@ -479,7 +488,7 @@ def optimize_many(graphs) -> None:
     cfg0 = graphs[0].cfg
     backend0 = solve.resolve_backend(
         cfg0.solver_backend, max(g.cap["nodes"] for g in graphs),
-        max(g.cap["planes"] for g in graphs))
+        max(g.cap["planes"] for g in graphs), cfg0.auto_dense_max_dofs)
     if (len(graphs) == 1 or any(g.cfg != cfg0 for g in graphs[1:])
             or backend0 == "chain"):
         # the chain backend's coupling classification is per-graph (and

@@ -40,6 +40,7 @@ would not even fit in HBM.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -434,3 +435,107 @@ def chain_delta(g, lin, lam, aux: ChainAux, K: int):
     pred = (jnp.sum(dx_n * (lam * d_n * dx_n - g_n))
             + (jnp.sum(dx_p * (lam * d_p * dx_p - g_p)) if p else 0.0))
     return dx_n, dx_p, pred, gnorm
+
+
+def chain_marginals(g, aux: ChainAux, K: int) -> jnp.ndarray:
+    """Per-node 6x6 covariance blocks — diag of H^{-1} — via the SAME
+    segmented factorization + Woodbury identity the chain step uses.
+
+    The reference computes exact sparse marginals at any graph size
+    through g2o/cholmod (graph_slam.cpp:401-425); the dense path here
+    caps at ~4k dofs and the batched-CG selected inverse pays hundreds of
+    Hv sweeps. This reuses the chain structure directly (lam=0):
+
+      H^{-1} = T^{-1} - Y S^{-1} Y^T,   Y = T^{-1} U,  S = I + U^T Y
+
+    with the block-tridiagonal T^{-1} diagonal recovered from the
+    two-level factors (interior blocks A^{-1} + F Sigma_lr F^T, separator
+    blocks read off the reduced inverse R^{-1}) and the coupling
+    correction evaluated only at the diagonal. The 1e-6 relative ridge
+    built into T (vs the dense path's 1e-9 absolute) makes weakly
+    constrained dofs marginally more conservative; well-constrained
+    blocks agree with the dense inverse (validated at 512 nodes in
+    tests/test_chain_solver.py).
+
+    Returns (N, 6, 6); fixed/invalid nodes get zero covariance.
+    """
+    n, p = g.n_nodes, g.n_planes
+    lin = S.linearize(g)
+    free_n, free_p = S._free_masks(g)
+    D_n, D_p = S.block_diagonal(g, lin)
+    d_n = jnp.diagonal(D_n, axis1=-2, axis2=-1)
+    d_p = jnp.diagonal(D_p, axis1=-2, axis2=-1)
+
+    sc_n = jax.lax.rsqrt(jnp.maximum(d_n + 1e-6, 1e-12)) * free_n
+    sc_n = jnp.where(free_n > 0, sc_n, 1.0)
+    sc_p = jax.lax.rsqrt(jnp.maximum(d_p + 1e-6, 1e-12)) * free_p
+    sc_p = jnp.where(free_p > 0, sc_p, 1.0)
+
+    lam = jnp.float32(0.0)
+    Td, Toff, Tp = _chain_T(g, lin, lam, d_n, d_p, free_n, free_p)
+    Td = Td * sc_n[:, :, None] * sc_n[:, None, :]
+    Toff = Toff * sc_n[:, :, None] * jnp.roll(sc_n, -1, 0)[:, None, :]
+    if p:
+        Tp = Tp * sc_p[:, :, None] * sc_p[:, None, :]
+    fac = _factor_T(Td, Toff, Tp, K)
+
+    Sg, mi = n // K, 6 * (K - 1)
+    # ---- diag blocks of T^{-1} -------------------------------------
+    # separators: all 6x6 blocks of the reduced inverse R^{-1}
+    Rinv = jax.scipy.linalg.cho_solve((fac.cholR, True),
+                                      jnp.eye(6 * Sg, dtype=jnp.float32))
+    Rb = Rinv.reshape(Sg, 6, Sg, 6).transpose(0, 2, 1, 3)  # (Sg,Sg,6,6)
+    ss = jnp.arange(Sg)
+    sep_cov = Rb[ss, ss]                                   # (Sg, 6, 6)
+    # per-segment [left,right] separator covariance (12, 12); segment 0
+    # has no left separator -> zero rows/cols there
+    sm1 = jnp.maximum(ss - 1, 0)
+    has_left = (ss > 0).astype(jnp.float32)[:, None, None]
+    ll = Rb[sm1, sm1] * has_left
+    lr = Rb[sm1, ss] * has_left
+    rr = sep_cov
+    Slr = jnp.concatenate([
+        jnp.concatenate([ll, lr], axis=2),
+        jnp.concatenate([jnp.swapaxes(lr, -1, -2), rr], axis=2)], axis=1)
+    # interiors: diag blocks of A^{-1} plus the separator feedback
+    Ainv = jax.scipy.linalg.cho_solve(
+        (fac.cholA, True), jnp.broadcast_to(jnp.eye(mi, dtype=jnp.float32),
+                                            (Sg, mi, mi)))
+    Ab = Ainv.reshape(Sg, K - 1, 6, K - 1, 6)
+    kk = jnp.arange(K - 1)
+    Aind = Ab[:, kk, :, kk].transpose(1, 0, 2, 3)          # (Sg, K-1, 6, 6)
+    Fseg = fac.F.reshape(Sg, K - 1, 6, 12)
+    corr_int = jnp.einsum("skic,scd,skjd->skij", Fseg, Slr, Fseg)
+    int_cov = Aind + corr_int                              # (Sg, K-1, 6, 6)
+    covT = jnp.concatenate([int_cov, sep_cov[:, None]], axis=1
+                           ).reshape(n, 6, 6)
+
+    # ---- Woodbury correction at the diagonal -----------------------
+    parts = _coupling_U(g, lin, aux, free_n, free_p)
+    parts = [(kind,
+              ia, Ua * ((sc_n if kind in ("nn", "np") else sc_p)[ia]
+                        )[:, :, None],
+              ib, Ub * ((sc_p if kind in ("np", "pp") else sc_n)[ib]
+                        )[:, :, None])
+             for kind, ia, Ua, ib, Ub in parts]
+    mtot = sum(pt[2].shape[0] for pt in parts)
+    if mtot:
+        U_n, U_p = _U_dense(parts, n, p, mtot)
+        Y_n, Y_p = _solve_T(fac, U_n, U_p, K)
+        Smat = (jnp.eye(6 * mtot, dtype=jnp.float32)
+                + _Ut_dot(parts, Y_n, Y_p))
+        cfS = jax.scipy.linalg.cho_factor(
+            0.5 * (Smat + Smat.T) + 1e-9 * jnp.eye(6 * mtot))
+        Z = jax.scipy.linalg.cho_solve(
+            cfS, Y_n.reshape(n * 6, 6 * mtot).T).T.reshape(n, 6, 6 * mtot)
+        covT = covT - jnp.einsum("nic,njc->nij", Y_n, Z)
+
+    cov = covT * sc_n[:, :, None] * sc_n[:, None, :]
+    return cov * (free_n > 0)[:, :, None]
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def chain_marginals_jit(g, aux: ChainAux, K: int) -> jnp.ndarray:
+    # same bf16 hazard as the step solver: everything f32-highest
+    with jax.default_matmul_precision("highest"):
+        return chain_marginals(g, aux, K)

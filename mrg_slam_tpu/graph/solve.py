@@ -552,14 +552,17 @@ def _chain_K(n: int) -> int:
     return k
 
 
-def resolve_backend(backend: str, n_nodes: int, n_planes: int = 0) -> str:
-    """"auto" -> dense while the (6N+3P)^2 Hessian is cheap (<= 2k nodes),
-    the chain backend (segmented tridiagonal + Woodbury) past that — so a
-    live graph that outgrows dense capacity transparently switches to the
-    large-graph exact path, like g2o's cholmod handles any size."""
+def resolve_backend(backend: str, n_nodes: int, n_planes: int = 0,
+                    max_dofs: int = 12288) -> str:
+    """"auto" -> dense while the (6N+3P)^2 Hessian is cheap (<= 2k nodes
+    at the default threshold), the chain backend (segmented tridiagonal +
+    Woodbury) past that — so a live graph that outgrows dense capacity
+    transparently switches to the large-graph exact path, like g2o's
+    cholmod handles any size. `max_dofs` comes from
+    OptimizerConfig.auto_dense_max_dofs."""
     if backend != "auto":
         return backend
-    return "dense" if 6 * n_nodes + 3 * n_planes <= 12288 else "chain"
+    return "dense" if 6 * n_nodes + 3 * n_planes <= max_dofs else "chain"
 
 
 def split_optimizer(cfg: OptimizerConfig, g: Optional[PoseGraphData] = None):
@@ -568,7 +571,8 @@ def split_optimizer(cfg: OptimizerConfig, g: Optional[PoseGraphData] = None):
     (optimize, builder.optimize_many, parallel.dist_solver)."""
     backend = cfg.solver_backend
     if g is not None:
-        backend = resolve_backend(backend, g.n_nodes, g.n_planes)
+        backend = resolve_backend(backend, g.n_nodes, g.n_planes,
+                                  cfg.auto_dense_max_dofs)
     assert backend != "auto", (
         "auto solver backend needs the graph to resolve against")
     K = _chain_K(g.n_nodes) if (g is not None

@@ -15,6 +15,7 @@ Usage:
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional
 
@@ -88,7 +89,19 @@ def optimize_distributed(g: PoseGraphData, cfg: OptimizerConfig,
     jit-static; iteration caps and tolerances ride as traced scalars so
     retuning never recompiles the SPMD program.
     """
-    (backend, is_lm, _), dyn = solve.split_optimizer(cfg)
+    backend = cfg.solver_backend
+    if backend == "auto":
+        # the SPMD body supports the dense (psum'd assembly + replicated
+        # Cholesky) and matrix-free cg steps; the chain factorization is a
+        # single-device program, so past the dense envelope auto falls to
+        # cg here rather than chain
+        backend = solve.resolve_backend("auto", g.poses.shape[0],
+                                        g.planes.shape[0],
+                                        cfg.auto_dense_max_dofs)
+        if backend == "chain":
+            backend = "cg"
+    (backend, is_lm, _), dyn = solve.split_optimizer(
+        dataclasses.replace(cfg, solver_backend=backend))
     return _optimize_distributed_split(is_lm, backend, mesh, dyn, g)
 
 

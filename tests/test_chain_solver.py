@@ -158,3 +158,105 @@ def test_auto_backend_resolution(rng):
                              g2o_solver_num_iterations=32)
     chi2 = gs.optimize()
     assert np.isfinite(chi2) and chi2 <= gs.chi2_initial
+
+
+def test_live_growth_crosses_dense_wall():
+    """An unbounded MrgSlam run under the DEFAULT "auto" solver backend
+    must cross the dense->chain switchover transparently through
+    optimization_tick as its store doubles — no OOM, no config
+    intervention (g2o cholmod's any-size envelope, graph_slam.cpp:28-30).
+    The switchover threshold is lowered so the wall sits at CPU scale;
+    the resolution mechanism exercised is the deployed one."""
+    import dataclasses
+
+    from mrg_slam_tpu.config import (InformationMatrixConfig,
+                                     OptimizerConfig, SlamConfig)
+    from mrg_slam_tpu.graph import builder as gb
+    from mrg_slam_tpu.models.backend import MrgSlam
+    from mrg_slam_tpu.ops.cloud import PointCloud
+
+    # wall at 128 nodes: capacity doubles 64 -> 128 (dense) -> 256 (chain)
+    cfg = SlamConfig(
+        own_name="grow", multi_robot_names=("grow",),
+        keyframe_delta_trans=2.0,
+        capacity_keyframes=64, capacity_edges=128,
+        capacity_keyframe_points=64,
+        optimizer=OptimizerConfig(auto_dense_max_dofs=6 * 128,
+                                  g2o_solver_num_iterations=16),
+        inf_matrix=InformationMatrixConfig(use_const_inf_matrix=True),
+        robot_remove_points_radius=0.0)
+    assert cfg.optimizer.solver_backend == "auto"  # the shipped default
+
+    resolved = []
+    orig = gb.solve.resolve_backend
+
+    def spy(backend, n_nodes, n_planes=0, max_dofs=12288):
+        out = orig(backend, n_nodes, n_planes, max_dofs)
+        resolved.append((n_nodes, out))
+        return out
+
+    rng = np.random.default_rng(0)
+    base = rng.uniform(-3, 3, size=(48, 3)).astype(np.float32)
+    slam = MrgSlam(cfg)
+    gb.solve.resolve_backend = spy
+    try:
+        for i in range(200):
+            pose = np.asarray([2.5 * i, 0, 0, 1, 0, 0, 0], np.float32)
+            pts = base + np.asarray([[2.5 * i, 0, 0]], np.float32)
+            slam.process_scan(i * 0.1, pose,
+                              PointCloud.from_array(pts, capacity=64))
+            if (i + 1) % 32 == 0:
+                slam.optimization_tick(now=i * 0.1)
+        slam.optimization_tick(now=20.0)
+    finally:
+        gb.solve.resolve_backend = orig
+
+    # the store crossed the wall and the auto resolution actually switched
+    assert slam.db.graph.cap["nodes"] >= 256
+    assert ("dense" in {b for _, b in resolved}
+            and "chain" in {b for _, b in resolved}), resolved
+    # the run stayed healthy across the switch
+    assert np.isfinite(slam.db.graph.chi2_final)
+    traj = slam.trajectory()
+    assert traj.shape[0] >= 190
+    np.testing.assert_allclose(traj[:, 0],
+                               2.5 * np.arange(traj.shape[0]), atol=0.2)
+
+
+def test_chain_marginals_match_dense(rng):
+    """chain_marginals (T+UU^T selected inverse) must reproduce the dense
+    H^-1 diagonal blocks on a 512-node ring with loops + priors — the
+    exact-marginals-past-dense-capacity path (graph_slam.cpp:401-425)."""
+    from mrg_slam_tpu.graph import solve
+    from mrg_slam_tpu.graph.chain_solver import chain_marginals_jit, classify
+    from mrg_slam_tpu.pipeline.baseline_runs import build_ring_graph
+    from mrg_slam_tpu.utils import se3np
+
+    n = 512
+    gs = build_ring_graph(n_nodes=n, capacity_nodes=n, capacity_edges=2 * n,
+                          backend="chain", seed=0)
+    info = np.diag([100.0] * 3 + [400.0] * 3).astype(np.float32)
+    for i in range(0, n - n // 2, 32):
+        j = i + n // 2
+        rel = se3np.pose_between(gs.poses[i], gs.poses[j])
+        gs.add_se3_edge(i, j, rel, info * 0.25)
+    for i in range(0, n, 64):
+        gs.add_se3_prior_xyz_edge(i, gs.poses[i][:3], np.eye(3) * 25.0)
+    gs.optimize()
+
+    g = gs.snapshot()
+    aux = classify(gs._se3.arrays["from_idx"], gs._se3.arrays["to_idx"],
+                   gs._se3.mask(), gs._pl_edges.capacity,
+                   gs._pl_pl.capacity, pl_mask=gs._pl_edges.mask(),
+                   qq_mask=gs._pl_pl.mask())
+    cov_chain = np.asarray(chain_marginals_jit(g, aux, solve._chain_K(n)))
+    cov_dense = np.asarray(solve.marginals(g, exact=True))
+
+    assert cov_chain.shape == (n, 6, 6)
+    # node 0 is fixed: zero covariance on both paths
+    assert np.abs(cov_chain[0]).max() == 0.0
+    # free nodes: agree with the dense inverse (the chain path's 1e-6
+    # relative ridge vs dense's 1e-9 absolute allows a small gap)
+    scale = np.abs(cov_dense[1:]).max()
+    np.testing.assert_allclose(cov_chain[1:], cov_dense[1:],
+                               atol=0.02 * scale, rtol=0.05)
