@@ -11,14 +11,15 @@ measured deployment envelope, exactly like the reference's unbounded g2o
 graph (mrg_slam.yaml:162, velodyne 10 Hz).
 
 Secondary sections:
-- multi-robot co-hosting: 2/3/4 robots on one chip with odom + slam-pose
-  broadcasts, delta-graph exchange and shared-tick batching
-  (models/coordinator.py), at the round-2 workload for comparability.
+- multi-robot co-hosting: 2/3/4 robots on one chip through the
+  shared-graph deployment (models/shared_graph.py — one store, one joint
+  solve, inter-robot loops with zero exchange bytes), at the round-2
+  workload for comparability.
 - pose-graph solver: 1024-node ring+loops through the dense backend and
   the chain backend (segmented tridiagonal + Woodbury) with chi2 parity,
-  and an 8192-node solve that only the chain backend can run on-chip
+  an 8192-node solve that only the chain backend can run on-chip
   (graph/chain_solver.py; the reference's cholmod envelope,
-  graph_slam.cpp:28-30).
+  graph_slam.cpp:28-30), and exact 8192-node chain marginals.
 
 The reference publishes no numbers (BASELINE.md); it runs live against a
 10 Hz LiDAR (apps/mrg_slam_component.cpp:802). vs_baseline =
@@ -281,6 +282,14 @@ def run_multirobot_scaling(deadline=None):
     raw_d, rmask_d = jnp.asarray(raw), jnp.asarray(rmask)
     stamps = jnp.arange(MR_FRAMES, dtype=jnp.float32) * 0.1
     pre_cfg, odo_cfg, slam_cfg = make_configs(MR_RAW, MR_FILTERED)
+    # measured on-chip (r04): 2 m odometry keyframe spacing more than
+    # halves per-chain drift at the MR scan density (worst odom-ATE
+    # 1.09 -> 0.44 m), and a 2 m inter-robot loop gap densifies the
+    # cross-chain stitching (loop rows are width-free on the chip —
+    # the pair program is iteration-bound); R=4 worst ATE 0.748 -> 0.274 m
+    odo_cfg = dataclasses.replace(odo_cfg, keyframe_delta_translation=2.0)
+    slam_cfg = dataclasses.replace(slam_cfg, loop=dataclasses.replace(
+        slam_cfg.loop, accum_distance_thresh_other_robot=2.0))
 
     @jax.jit
     def prefilter_batch(pts, masks):
