@@ -135,10 +135,10 @@ class MrgSlam:
             return broadcast
 
         cloud = self._remove_other_robot_points(odom_pose, cloud)
-        kf = self.db.add_odom_keyframe(stamp, odom_pose, accum, cloud)
-        # kick off the keyframe's GICP covariance pass now (async device
-        # work): the tick's batched pair program then finds it cached
-        self.loop_detector.runner.prefetch(kf)
+        self.db.add_odom_keyframe(stamp, odom_pose, accum, cloud)
+        # covariance preprocessing happens as ONE vmapped dispatch at the
+        # next tick (PairRunner.prefetch_batch): per-admission prefetch
+        # paid a full ~30 ms tunnel dispatch per keyframe
         return broadcast
 
     def _remove_other_robot_points(self, odom_pose: np.ndarray,
@@ -228,6 +228,9 @@ class MrgSlam:
         flushed |= self.imu_processor.flush(self.db, own_kfs)
         if not flushed and not self.db.new_keyframes:
             return None
+        # batch-compute GICP covariance caches for every new keyframe
+        # (own, remote-merged, loaded) in ceil(K/16) vmapped dispatches
+        self.loop_detector.runner.prefetch_batch(self.db.new_keyframes)
 
         # odometry edges whose information matrix needs a fitness pass ride
         # in the loop detector's phase-1 dispatch

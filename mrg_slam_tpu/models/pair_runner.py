@@ -119,6 +119,48 @@ class PairRunner:
         if self.voxel_target:
             self.voxel_map(kf)
 
+    # batch cap for the vmapped covariance program: the radius/kNN pass
+    # materializes chunked distance panels per batch element, so an
+    # unbounded vmap width would trade the dispatch-latency win for an
+    # HBM blowup at production cloud capacities
+    PREFETCH_BUCKET = 16
+
+    def prefetch_batch(self, kfs: List[KeyFrame]) -> None:
+        """One vmapped covariance dispatch for every uncached keyframe.
+
+        Per-keyframe `prefetch` pays a full ~26-30 ms tunnel dispatch per
+        admission (measured r04: 2.6 s of a 4.7 s four-robot run — more
+        than half the non-compile wall was covariance dispatch latency).
+        Admissions arrive in bursts at the tick, so the covariance pass
+        vmaps over a padded keyframe bucket: ceil(K/16) dispatches per
+        tick instead of K."""
+        import jax
+
+        todo = [k for k in kfs if getattr(k, "_gicp_cache", None) is None
+                and k.cloud.capacity > 0]
+        if not todo:
+            return
+        if self.voxel_target:
+            for k in todo:
+                self.voxel_map(k)
+        if getattr(self, "_batch_cov_fn", None) is None:
+            cfg = self.reg_cfg
+            self._batch_cov_fn = jax.jit(jax.vmap(
+                lambda p, m: reg.make_source(PointCloud(p, m), cfg)))
+        for s in range(0, len(todo), self.PREFETCH_BUCKET):
+            chunk = todo[s: s + self.PREFETCH_BUCKET]
+            b = self.MIN_BUCKET
+            while b < len(chunk):
+                b *= 2
+            pad = b - len(chunk)
+            pts = jnp.stack([k.cloud.points for k in chunk]
+                            + [chunk[0].cloud.points] * pad)
+            msk = jnp.stack([k.cloud.mask for k in chunk]
+                            + [chunk[0].cloud.mask] * pad)
+            out = self._batch_cov_fn(pts, msk)
+            for i, k in enumerate(chunk):
+                k._gicp_cache = jax.tree.map(lambda x: x[i], out)
+
     # ------------------------------------------------------------------
     def run(self, requests: List[PairRequest]) -> List[PairResult]:
         if not requests:

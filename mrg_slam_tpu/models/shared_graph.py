@@ -117,10 +117,11 @@ class SharedGraphSlam:
             return broadcast
 
         cloud = self._remove_other_robot_points(view, odom_pose, cloud)
-        kf = self.db.add_odom_keyframe(stamp, odom_pose, accum, cloud,
-                                       robot_name=robot_name,
-                                       slam_uuid=view.slam_uuid)
-        self.loop_detector.runner.prefetch(kf)
+        self.db.add_odom_keyframe(stamp, odom_pose, accum, cloud,
+                                  robot_name=robot_name,
+                                  slam_uuid=view.slam_uuid)
+        # covariances are batch-prefetched at the tick (one vmapped
+        # dispatch per ~16 admissions across the whole fleet)
         return broadcast
 
     def _remove_other_robot_points(self, view: _RobotView,
@@ -219,6 +220,7 @@ class SharedGraphSlam:
             flushed |= view.imu_processor.flush(self.db, kfs)
         if not flushed and not self.db.new_keyframes:
             return None
+        self.loop_detector.runner.prefetch_batch(self.db.new_keyframes)
 
         deferred = [e for e in pending_edges if e.edge_id is None]
         edge_reqs = tuple(PairRequest(
