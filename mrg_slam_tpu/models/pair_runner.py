@@ -66,15 +66,19 @@ class PairRunner:
     MIN_BUCKET = 4
     # Requests beyond the bucket cap run as multiple dispatches. The align
     # program is iteration-bound below a points*rows knee (widening is
-    # nearly free), then turns bandwidth-bound (measured r3 on-chip:
-    # 4096-pt rows at width 128 beat 2x64 by ~10%, but 8192-pt rows at
-    # width 128 were 43% SLOWER than 2x64). Budget the cap so
-    # capacity * bucket stays at the knee: 4096 -> 128, 8192 -> 64.
-    ROW_POINTS_BUDGET = 524288
+    # nearly free), then turns bandwidth-bound. Measured knees on-chip:
+    # 4096-pt rows keep gaining through 256-wide buckets (r4: a busy
+    # 203-row multi-robot tick ran 30% faster in one 256 bucket than
+    # 128+75), while 8192-pt rows at width 128 were 43% SLOWER than 2x64
+    # (r3). Budget the cap per capacity regime.
+    ROW_POINTS_BUDGET = 524288           # >4096-pt rows (bandwidth-bound)
+    ROW_POINTS_BUDGET_SMALL = 1 << 20    # <=4096-pt rows
 
     def max_bucket(self, capacity: int) -> int:
+        budget = (self.ROW_POINTS_BUDGET_SMALL if capacity <= 4096
+                  else self.ROW_POINTS_BUDGET)
         b = self.MIN_BUCKET
-        while b * 2 * capacity <= self.ROW_POINTS_BUDGET:
+        while b * 2 * capacity <= budget:
             b *= 2
         return b
 
@@ -143,10 +147,6 @@ class PairRunner:
         if self.voxel_target:
             for k in todo:
                 self.voxel_map(k)
-        if getattr(self, "_batch_cov_fn", None) is None:
-            cfg = self.reg_cfg
-            self._batch_cov_fn = jax.jit(jax.vmap(
-                lambda p, m: reg.make_source(PointCloud(p, m), cfg)))
         for s in range(0, len(todo), self.PREFETCH_BUCKET):
             chunk = todo[s: s + self.PREFETCH_BUCKET]
             b = self.MIN_BUCKET
@@ -157,7 +157,7 @@ class PairRunner:
                             + [chunk[0].cloud.points] * pad)
             msk = jnp.stack([k.cloud.mask for k in chunk]
                             + [chunk[0].cloud.mask] * pad)
-            out = self._batch_cov_fn(pts, msk)
+            out = reg.make_source_batch(pts, msk, self.reg_cfg)
             for i, k in enumerate(chunk):
                 k._gicp_cache = jax.tree.map(lambda x: x[i], out)
 
@@ -174,6 +174,9 @@ class PairRunner:
 
     def _run_bucket(self, requests: List[PairRequest]) -> List[PairResult]:
         n = len(requests)
+        # pow2 buckets only: multiple-of-32 buckets LOOK like less padding
+        # waste (203 rows -> 224 vs 256) but measured 17% SLOWER on-chip —
+        # XLA tiles pow2 leading batch dims better than odd multiples
         b = self.MIN_BUCKET
         while b < n:
             b *= 2

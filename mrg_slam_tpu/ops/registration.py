@@ -139,6 +139,26 @@ def make_source(cloud: PointCloud, params: RegistrationConfig) -> GICPCloud:
     return GICPCloud(cloud.points, cloud.mask, eye)
 
 
+@functools.partial(jax.jit, static_argnames=("stat",))
+def _make_source_batch_split(stat, dyn, pts, msk):
+    view = RegView(stat, dyn)
+    return jax.vmap(lambda p, m: make_source(PointCloud(p, m), view)
+                    )(pts, msk)
+
+
+def make_source_batch(pts: jnp.ndarray, msk: jnp.ndarray,
+                      params: RegistrationConfig) -> GICPCloud:
+    """Batched `make_source` over a leading keyframe axis (B, N, 3)/(B, N).
+
+    MODULE-level jit on the shared static/traced split: per-instance
+    `jax.jit(lambda ...)` wrappers re-traced the program every time a new
+    backend was constructed (one fresh trace + cache load per bench run —
+    measured 2.7x slower multi-robot timed runs before this was hoisted).
+    """
+    stat, dyn = split_reg(params)
+    return _make_source_batch_split(stat, dyn, pts, msk)
+
+
 def _correspondences(method: str, params: RegistrationConfig,
                      p_world: jnp.ndarray, src_mask: jnp.ndarray,
                      target: RegistrationTarget
