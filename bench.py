@@ -54,10 +54,10 @@ FILTERED = 8192    # prefiltered working capacity
 N_FRAMES = 640
 BLOCK = 32         # frames per device dispatch (~3 s graph_update_interval)
 
-# ---- multi-robot scale (round-2-comparable workload) ----
+# ---- multi-robot scale ----
 MR_RAW = 32768
 MR_FILTERED = 4096
-MR_FRAMES = 120
+MR_FRAMES = 160    # one full lap; two disjoint 180-degree sectors
 MR_BLOCK = 20
 
 
@@ -277,7 +277,10 @@ def run_multirobot_scaling(deadline=None):
     from mrg_slam_tpu.ops.prefilter import prefilter
     from mrg_slam_tpu.utils.metrics import ate_rmse
 
-    traj, scans = build_world_and_scans()
+    # one full lap at 160 frames (~0.6 m/frame): the two sectors stay
+    # spatially disjoint except at their seams, so inter-robot loops come
+    # from the designed intra-pair overlaps
+    traj, scans = build_world_and_scans(n_frames=MR_FRAMES, laps=1.0)
     raw, rmask = stack_scans(scans, MR_RAW)
     raw_d, rmask_d = jnp.asarray(raw), jnp.asarray(rmask)
     stamps = jnp.arange(MR_FRAMES, dtype=jnp.float32) * 0.1
@@ -315,14 +318,25 @@ def run_multirobot_scaling(deadline=None):
         return (float(p[0]), float(p[1]), float(p[2]), float(yaw), 0.0, 0.0)
 
     def windows_for(R):
-        """R overlapping windows with IDENTICAL per-robot topology (span
-        60 frames, step 20, 40-frame overlap with each neighbor) so the
-        aggregate-vs-R comparison holds the per-robot workload fixed and
-        scales only R. (The r02/r03 exchange-mode bench used a special
-        R=2 split; the shared-graph deployment supersedes it.)"""
+        """Sector-pair fleet: robots work in PAIRS, each pair surveying
+        its own half of the lap with a 40-frame intra-pair overlap —
+        (0,60)+(20,80) in sector 1, (80,140)+(100,160) in sector 2. Every
+        robot has an identical workload (60 frames, one overlap partner),
+        so the aggregate-vs-R row measures co-hosting scaling with the
+        per-robot work held fixed, not a change in loop-closure density.
+        Odd fleet sizes leave one unpaired rover opening sector 2. (The
+        r02/r03 exchange-mode bench used chained windows on a shorter
+        lap; the shared-graph deployment supersedes it.)"""
         names = ["alpha", "bravo", "charlie", "delta"][:R]
-        span, step = MR_FRAMES // 2, MR_FRAMES // 6
-        w = [(i * step, min(i * step + span, MR_FRAMES)) for i in range(R)]
+        span, step, sector = 60, 20, MR_FRAMES // 2
+        if R % 2 == 0:
+            w = [((i // 2) * sector + (i % 2) * step,
+                  (i // 2) * sector + (i % 2) * step + span)
+                 for i in range(R)]
+        else:
+            # odd fleets: chained windows so no rover is left without an
+            # overlap partner (an unpaired chain is odometry-bound)
+            w = [(i * step, i * step + span) for i in range(R)]
         return dict(zip(names, w))
 
     def run(R):
