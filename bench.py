@@ -342,6 +342,12 @@ def run_multirobot_scaling(deadline=None):
     def run(R):
         windows = windows_for(R)
         names = list(windows)
+        # tick cadence held constant PER ROBOT-SCAN (one tick per ~40
+        # ingested scans): with a fixed wall-block the R=4 tick ingested
+        # 2x the scans of R=2 and its pair batch crossed the pair
+        # program's superlinear padding regime — the scaling row would
+        # then measure batch-quantization, not co-hosting
+        B = max(40 // R, 4)
         group = SharedGraphSlam(
             dataclasses.replace(slam_cfg, own_name=names[0],
                                 multi_robot_names=tuple(names)),
@@ -358,20 +364,20 @@ def run_multirobot_scaling(deadline=None):
                                    PointCloud(fpts[i], fmask[i]))
 
         n_local = max(hi - lo for lo, hi in windows.values())
-        for s in range(0, n_local, MR_BLOCK):
+        for s in range(0, n_local, B):
             spans = {n: (windows[n][0] + s,
-                         min(windows[n][0] + s + MR_BLOCK, windows[n][1]))
+                         min(windows[n][0] + s + B, windows[n][1]))
                      for n in names if s < windows[n][1] - windows[n][0]}
             if (len(spans) == len(names)
-                    and all(b - a == MR_BLOCK for a, b in spans.values())):
+                    and all(b - a == B for a, b in spans.values())):
                 # full blocks for every robot: ONE prefilter + ONE vmapped
                 # odometry dispatch + ONE pose fetch for all of them
                 fpts, fmask = prefilter_batch(
                     jnp.concatenate([raw_d[a:b] for a, b in spans.values()]),
                     jnp.concatenate([rmask_d[a:b] for a, b in spans.values()]))
-                fpts = fpts.reshape(R, MR_BLOCK, *fpts.shape[1:])
-                fmask = fmask.reshape(R, MR_BLOCK, *fmask.shape[1:])
-                st2 = jnp.broadcast_to(stamps[s:s + MR_BLOCK], (R, MR_BLOCK))
+                fpts = fpts.reshape(R, B, *fpts.shape[1:])
+                fmask = fmask.reshape(R, B, *fmask.shape[1:])
+                st2 = jnp.broadcast_to(stamps[s:s + B], (R, B))
                 carries, outs = fused.run_batch_multi(odo_cfg, carries,
                                                       fpts, fmask, st2)
                 all_poses = np.asarray(outs.pose)  # (R, B, 7): one fetch
@@ -390,7 +396,7 @@ def run_multirobot_scaling(deadline=None):
                     carries = jax.tree.map(lambda f, v: f.at[r].set(v),
                                            carries, c_r)
                     ingest(name, s, fpts, fmask, np.asarray(outs.pose))
-            group.optimization_tick(now=(s + MR_BLOCK) * 0.1)
+            group.optimization_tick(now=(s + B) * 0.1)
         group.optimization_tick(now=n_local * 0.1)
         return group, windows
 
