@@ -66,7 +66,10 @@ def _detect_jit(cloud: PointCloud, key, tilt_deg: float,
     # tilt compensation (:109-116): un-rotate the sensor's pitch
     tilt = jnp.float32(math.radians(tilt_deg))
     R = se3.so3_exp(jnp.asarray([0.0, 1.0, 0.0]) * tilt)
-    pts = cloud.points @ R.T
+    # precision pin: rotating ~45 m LiDAR coordinates through a bf16 MXU
+    # matmul injects ~0.1 m noise, which the height clip and the RANSAC
+    # inlier threshold (same scale) then amplify into a garbage floor fit
+    pts = jnp.matmul(cloud.points, R.T, precision=jax.lax.Precision.HIGHEST)
     # height clip around the floor level z = -sensor_height (:192-214)
     z = pts[..., 2]
     mask = (cloud.mask & (z > -sensor_height - height_clip_range)
@@ -90,6 +93,7 @@ def _detect_jit(cloud: PointCloud, key, tilt_deg: float,
     # normal flip (:165): normal points up
     coeffs = jnp.where(fit.coeffs[2] < 0, -fit.coeffs, fit.coeffs)
     # undo tilt so coeffs live in the original base frame
-    n_base = R.T @ coeffs[:3]
+    n_base = jnp.matmul(R.T, coeffs[:3],
+                        precision=jax.lax.Precision.HIGHEST)
     coeffs = jnp.concatenate([n_base, coeffs[3:4]])
     return coeffs, fit.num_inliers, fit.valid & vertical_ok

@@ -68,7 +68,9 @@ def estimate_covariances(cloud: PointCloud, k: int = 20,
     cnt = jnp.maximum(jnp.sum(w, axis=-1), 1.0)
     mean = jnp.sum(neigh * w[..., None], axis=-2) / cnt[..., None]
     diff = (neigh - mean[:, None, :]) * w[..., None]
-    cov = jnp.einsum("nka,nkb->nab", diff, diff) / cnt[..., None, None]
+    cov = jnp.einsum("nka,nkb->nab", diff, diff,
+                     precision=jax.lax.Precision.HIGHEST) / cnt[..., None,
+                                                                None]
     cov = regularize_covs_plane(cov)
     # invalid points get identity so downstream inverses stay finite
     eye = jnp.eye(3, dtype=cov.dtype)

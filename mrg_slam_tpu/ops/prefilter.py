@@ -67,7 +67,12 @@ def deskew(cloud: PointCloud, point_time_frac: jnp.ndarray,
     """
     ang = point_time_frac[:, None] * scan_period * ang_vel[None, :]
     R = se3.so3_exp(-ang)  # undo rotation
-    pts = jnp.einsum("nij,nj->ni", R, cloud.points)
+    # precision pin: this per-point rotation touches RAW coordinates
+    # (~45 m); through a bf16 MXU contraction the near-identity rotation
+    # still rounds the dominant term, injecting ~0.1 m of noise into
+    # every deskewed cloud on-chip
+    pts = jnp.einsum("nij,nj->ni", R, cloud.points,
+                     precision=jax.lax.Precision.HIGHEST)
     pts = jnp.where(cloud.mask[:, None], pts, PAD_VALUE)
     return PointCloud(pts, cloud.mask)
 

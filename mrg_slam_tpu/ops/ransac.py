@@ -53,8 +53,14 @@ def ransac_plane(cloud: PointCloud, key: jnp.ndarray,
     d = -jnp.einsum("hj,hj->h", normal, tri[:, 0])
     degenerate = norm[:, 0] < 1e-8
 
-    # score: inliers within distance_thresh
-    dist = jnp.abs(pts @ normal.T + d[None, :])  # (N, H)
+    # score: inliers within distance_thresh. precision=HIGHEST is
+    # load-bearing: the TPU MXU defaults to bf16 inputs, and at LiDAR
+    # coordinate magnitudes (~45 m) a bf16 point-plane distance carries
+    # ~0.1 m error — the same scale as distance_thresh — so hypothesis
+    # scoring (and the final inlier mask) is corrupted on-chip
+    # (measured: floor-augmented acceptance ATE 1.97 m vs 0.24 m on CPU).
+    _HI = jax.lax.Precision.HIGHEST
+    dist = jnp.abs(jnp.matmul(pts, normal.T, precision=_HI) + d[None, :])
     within = (dist <= distance_thresh) & cloud.mask[:, None]
     scores = jnp.sum(within, axis=0)
     scores = jnp.where(degenerate, -1, scores)
@@ -68,14 +74,14 @@ def ransac_plane(cloud: PointCloud, key: jnp.ndarray,
     cnt = jnp.maximum(jnp.sum(w), 1.0)
     mean = jnp.sum(pts * w[:, None], axis=0) / cnt
     diff = (pts - mean) * w[:, None]
-    cov = diff.T @ diff / cnt
+    cov = jnp.matmul(diff.T, diff, precision=_HI) / cnt
     from .sym3eig import smallest_eigvec3
     _, n_ref = smallest_eigvec3(cov)  # smallest eigenvalue direction
     # keep orientation of the RANSAC normal
     n_ref = jnp.where(jnp.dot(n_ref, n_best) < 0, -n_ref, n_ref)
     d_ref = -jnp.dot(n_ref, mean)
 
-    dist_ref = jnp.abs(pts @ n_ref + d_ref)
+    dist_ref = jnp.abs(jnp.matmul(pts, n_ref, precision=_HI) + d_ref)
     inliers_ref = (dist_ref <= distance_thresh) & cloud.mask
     return PlaneFit(
         coeffs=jnp.concatenate([n_ref, d_ref[None]]),
@@ -93,7 +99,9 @@ def estimate_normals(cloud: PointCloud, k: int = 10) -> jnp.ndarray:
     cnt = jnp.maximum(jnp.sum(nmask, axis=-1), 1.0)
     mean = jnp.sum(neigh * nmask[..., None], axis=-2) / cnt[..., None]
     diff = (neigh - mean[:, None, :]) * nmask[..., None]
-    cov = jnp.einsum("nka,nkb->nab", diff, diff) / cnt[..., None, None]
+    cov = jnp.einsum("nka,nkb->nab", diff, diff,
+                     precision=jax.lax.Precision.HIGHEST) / cnt[..., None,
+                                                                None]
     from .sym3eig import smallest_eigvec3
     _, normals = smallest_eigvec3(cov)
     # orient upward (+z) like the floor detector expects

@@ -240,24 +240,35 @@ def _align_impl(params: RegistrationConfig, source: GICPCloud,
             q, Cq, valid = _correspondences(method, params, p_world, sm,
                                             tgt)
             r = q - p_world  # (N,3)
+            # precision pins: skew(p) carries raw coordinate magnitudes
+            # (~45 m) into J, and H/b contract over thousands of
+            # correspondences — at bf16 MXU precision the Gauss-Newton
+            # direction picks up ~0.4% noise per iteration, enough to
+            # chatter around the 1e-3 convergence epsilon and tip
+            # knife-edge registrations into divergence on-chip (CPU f32
+            # runs of the same scans converge). O(N*36) FLOPs — free
+            # next to the NN search.
+            _HI = jax.lax.Precision.HIGHEST
             if use_source_covs:
-                RCpRt = jnp.einsum("ab,nbc,dc->nad", R, src.covs, R)
+                RCpRt = jnp.einsum("ab,nbc,dc->nad", R, src.covs, R,
+                                   precision=_HI)
                 W = inv3x3(Cq + RCpRt)
             else:
                 W = inv3x3(Cq)
             w = valid.astype(jnp.float32)
             if ndt_d2 is not None:
-                m = jnp.einsum("na,nab,nb->n", r, W, r)
+                m = jnp.einsum("na,nab,nb->n", r, W, r, precision=_HI)
                 w = w * ndt_d2 * jnp.exp(-0.5 * ndt_d2 * m)
             W = W * w[:, None, None]
             # J = [-R, R skew(p)] : (N,3,6)
-            Rskew = jnp.einsum("ab,nbc->nac", R, se3.skew(sp))
+            Rskew = jnp.einsum("ab,nbc->nac", R, se3.skew(sp),
+                               precision=_HI)
             J = jnp.concatenate([-jnp.broadcast_to(R, Rskew.shape), Rskew],
                                 axis=-1)
-            WJ = jnp.einsum("nab,nbj->naj", W, J)
-            H = jnp.einsum("nai,naj->ij", J, WJ)
-            b = jnp.einsum("naj,na->j", WJ, r)
-            err = jnp.einsum("na,nab,nb->", r, W, r)
+            WJ = jnp.einsum("nab,nbj->naj", W, J, precision=_HI)
+            H = jnp.einsum("nai,naj->ij", J, WJ, precision=_HI)
+            b = jnp.einsum("naj,na->j", WJ, r, precision=_HI)
+            err = jnp.einsum("na,nab,nb->", r, W, r, precision=_HI)
             n_in = jnp.sum(valid.astype(jnp.int32))
             xi = jnp.linalg.solve(H + 1e-6 * jnp.eye(6, dtype=H.dtype), -b)
             return xi, H, err / jnp.maximum(n_in, 1), n_in
