@@ -104,6 +104,15 @@ class RegistrationConfig:
     # lever on the back-end tick at production cloud sizes.
     reg_coarse_stride: int = 1
     reg_coarse_iterations: int = 0
+    # TPU-specific per-row stall exit for the batched pair program: a row
+    # whose mean correspondence error improves by less than this relative
+    # fraction for 2 consecutive Gauss-Newton iterations (or that has zero
+    # correspondences) stops iterating and reports converged=False. Under
+    # vmap the while_loop runs until EVERY row finishes, and
+    # non-overlapping candidate rows never converge — so without this the
+    # whole batch always pays the full iteration budget (measured 531 ms
+    # of a ~610 ms back-end tick, BENCH_r04). 0 disables.
+    reg_stall_epsilon: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -50,7 +50,11 @@ def ransac_plane(cloud: PointCloud, key: jnp.ndarray,
     normal = jnp.cross(v1, v2)
     norm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
     normal = normal / jnp.maximum(norm, 1e-12)
-    d = -jnp.einsum("hj,hj->h", normal, tri[:, 0])
+    # elementwise product + sum stays f32 on the VPU — an einsum here can
+    # lower to a bf16 MXU contraction, and at ~45 m coordinates a bf16
+    # plane offset d carries ~0.1 m error (the scale of distance_thresh),
+    # re-corrupting every point-plane distance the pin below protects
+    d = -jnp.sum(normal * tri[:, 0], axis=-1)
     degenerate = norm[:, 0] < 1e-8
 
     # score: inliers within distance_thresh. precision=HIGHEST is
@@ -79,7 +83,7 @@ def ransac_plane(cloud: PointCloud, key: jnp.ndarray,
     _, n_ref = smallest_eigvec3(cov)  # smallest eigenvalue direction
     # keep orientation of the RANSAC normal
     n_ref = jnp.where(jnp.dot(n_ref, n_best) < 0, -n_ref, n_ref)
-    d_ref = -jnp.dot(n_ref, mean)
+    d_ref = -jnp.sum(n_ref * mean)  # same bf16-offset hazard as d above
 
     dist_ref = jnp.abs(jnp.matmul(pts, n_ref, precision=_HI) + d_ref)
     inliers_ref = (dist_ref <= distance_thresh) & cloud.mask

@@ -68,7 +68,8 @@ _REG_STATIC = ("registration_method", "reg_use_reciprocal_correspondences",
                "reg_covariance_mode", "reg_coarse_stride")
 _REG_DYN_F32 = ("reg_transformation_epsilon",
                 "reg_max_correspondence_distance", "reg_resolution",
-                "reg_covariance_radius", "reg_ndt_outlier_ratio")
+                "reg_covariance_radius", "reg_ndt_outlier_ratio",
+                "reg_stall_epsilon")
 
 
 class RegView:
@@ -273,22 +274,48 @@ def _align_impl(params: RegistrationConfig, source: GICPCloud,
             xi = jnp.linalg.solve(H + 1e-6 * jnp.eye(6, dtype=H.dtype), -b)
             return xi, H, err / jnp.maximum(n_in, 1), n_in
 
+        # Per-row stall exit (reg_stall_epsilon > 0): under vmap the
+        # while_loop runs until EVERY row of the batched pair program
+        # finishes, and rows without enough true overlap never satisfy
+        # the update-norm criterion — so without a stall exit the whole
+        # tick pays the full iteration budget for them (531 ms of a
+        # ~610 ms tick in BENCH_r04). A row whose mean correspondence
+        # error improves by < stall_eps (relative) for 2 consecutive
+        # iterations has numerically finished: if it still holds
+        # correspondences it reports converged=True and lets the fitness
+        # gate decide acceptance (the reference's real filter,
+        # loop_detector.cpp:156 — a plateaued-at-optimum row passes, a
+        # plateaued-garbage row carries garbage fitness and is
+        # rejected); a row with ZERO correspondences dies unconverged
+        # (keep-last semantics, loop_detector.cpp:150-155).
+        stall_eps = jnp.float32(getattr(params, "reg_stall_epsilon", 0.0))
+
         def cond(state):
-            pose, i, done, err, n_in, H = state
-            return (i < budget) & ~done
+            pose, i, done, dead, stall, err, n_in, H = state
+            return (i < budget) & ~done & ~dead
 
         def body(state):
-            pose, i, done, err, n_in, H = state
+            pose, i, done, dead, stall, err, n_in, H = state
             xi, H2, err2, n2 = gn_step(pose)
             new_pose = se3.pose_retract(pose, xi)
             dt = jnp.linalg.norm(xi[:3])
             dr = jnp.linalg.norm(xi[3:])
             converged = (dt < eps_t) & (dr < eps_r)
-            return (new_pose, i + 1, converged, err2, n2, H2)
+            improve = jnp.where(jnp.isfinite(err),
+                                (err - err2) / jnp.maximum(err, 1e-12),
+                                jnp.float32(jnp.inf))
+            stall2 = jnp.where(improve < stall_eps, stall + 1, 0)
+            stall_on = stall_eps > 0
+            converged = converged | (stall_on & (stall2 >= 2) & (n2 > 0))
+            dead2 = stall_on & (n2 == 0)
+            return (new_pose, i + 1, converged, dead2, stall2, err2, n2, H2)
 
-        init = (pose0, jnp.int32(0), jnp.bool_(False), jnp.float32(jnp.inf),
+        init = (pose0, jnp.int32(0), jnp.bool_(False), jnp.bool_(False),
+                jnp.int32(0), jnp.float32(jnp.inf),
                 jnp.int32(0), jnp.zeros((6, 6), jnp.float32))
-        return jax.lax.while_loop(cond, body, init)
+        pose, it, done, dead, stall, err, n_in, H = jax.lax.while_loop(
+            cond, body, init)
+        return pose, it, done, err, n_in, H
 
     pose0 = init_pose.astype(jnp.float32)
     stride = int(getattr(params, "reg_coarse_stride", 1))

@@ -295,3 +295,48 @@ def test_pair_runner_voxel_methods(rng, method):
     np.testing.assert_array_equal(eval_row.pose, ident)
     assert eval_row.iterations == 0
     assert eval_row.fitness_inf < 1e-6
+
+
+def test_stall_exit_retires_hopeless_rows(rng):
+    """reg_stall_epsilon: a non-overlapping pair stops iterating early
+    (it can never satisfy the update-norm criterion, so without the stall
+    exit it pins the whole batched pair program at the full budget —
+    BENCH_r04 measured 531 ms/tick of exactly this), while a true pair's
+    result is unchanged."""
+    pts = structured_scene(rng)
+    gt = true_pose()
+    src_pts = np.asarray(se3.pose_apply(se3.pose_inverse(gt),
+                                        jnp.asarray(pts)))
+    garbage = pts + np.array([500.0, 0, 0], np.float32)  # disjoint scene
+    base = RegistrationConfig(registration_method="SMALL_GICP",
+                              reg_transformation_epsilon=1e-4,
+                              reg_maximum_iterations=48)
+    tgt = PointCloud.from_array(pts, capacity=2048)
+    good = PointCloud.from_array(src_pts, capacity=2048)
+    bad = PointCloud.from_array(garbage, capacity=2048)
+
+    import dataclasses
+    stall = dataclasses.replace(base, reg_stall_epsilon=0.01)
+
+    # disjoint pair: zero correspondences -> dies after the first
+    # iteration instead of burning the 48-iteration budget
+    res_bad = reg.align_clouds(stall, bad, tgt, se3.pose_identity())
+    assert not bool(res_bad.converged)
+    assert int(res_bad.iterations) <= 3
+
+    # overlapping-but-wrong pair (half the scene shifted off): stalls
+    # out well under budget, still reports converged=False
+    mixed = np.concatenate([pts[:700] + np.array([30.0, 17.0, 0],
+                                                 np.float32),
+                            garbage[700:1400]])
+    res_mix = reg.align_clouds(
+        stall, PointCloud.from_array(mixed, capacity=2048), tgt,
+        se3.pose_identity())
+    assert int(res_mix.iterations) < 48
+
+    # the true pair converges to the same pose with and without stall
+    res_off = reg.align_clouds(base, good, tgt, se3.pose_identity())
+    res_on = reg.align_clouds(stall, good, tgt, se3.pose_identity())
+    assert bool(res_on.converged)
+    np.testing.assert_allclose(np.asarray(res_on.pose),
+                               np.asarray(res_off.pose), atol=1e-4)
