@@ -182,3 +182,61 @@ def test_inspect_graph_dir_and_kitti(tmp_path):
     assert kstats["scans"] == 3
     assert abs(kstats["gt_path_length_m"] - 2.0) < 1e-6
     assert (tmp_path / "k" / "inspection.json").exists()
+
+
+def test_inspect_compare_runs(tmp_path):
+    """pipeline/inspect compare: run-vs-run report (the reference
+    inspectors' result-comparison role, kitti_inspector.py) — count
+    deltas, common-stamp trajectory RMSE, per-edge-type chi2 breakdown,
+    overlay plot."""
+    from mrg_slam_tpu.pipeline.inspect import compare_graph_dirs
+
+    rng = np.random.default_rng(33)
+    slam = _small_run(rng)
+    save_graph(slam, tmp_path / "a")
+    save_graph(slam, tmp_path / "b")
+    # perturb run B: shift one keyframe estimate by 0.5 m in x
+    kdir = sorted((tmp_path / "b" / "keyframes").iterdir())[2]
+    lines = (kdir / "data.txt").read_text().splitlines()
+    for i, line in enumerate(lines):
+        if line.startswith("estimate "):
+            vals = [float(v) for v in line.split()[1:]]
+            vals[0] += 0.5
+            lines[i] = "estimate " + " ".join(f"{v:.9f}" for v in vals)
+    (kdir / "data.txt").write_text("\n".join(lines) + "\n")
+
+    rep = compare_graph_dirs(str(tmp_path / "a"), str(tmp_path / "b"),
+                             out_dir=str(tmp_path / "cmp"))
+    assert rep["summary_a"]["keyframes"] == rep["summary_b"]["keyframes"]
+    ca = rep["summary_a"]["chi2_by_edge_type"]
+    cb = rep["summary_b"]["chi2_by_edge_type"]
+    assert ca["odom"]["count"] == 4
+    # the perturbed estimate must show up both in the trajectory delta
+    # and as increased odom chi2 in run B
+    robot = next(iter(rep["per_robot_delta"].values()))
+    assert robot["common_stamps"] == 5
+    assert 0.1 < robot["rmse_raw_m"] < 0.5
+    assert cb["odom"]["chi2_total"] > ca["odom"]["chi2_total"] + 0.5
+    assert (tmp_path / "cmp" / "comparison.json").exists()
+    assert (tmp_path / "cmp" / "comparison.png").exists()
+
+
+def test_se3np_pose_log_matches_jax():
+    from mrg_slam_tpu.utils import se3, se3np
+
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        xi = rng.normal(scale=1.2, size=6).astype(np.float32)
+        p = np.asarray(se3.pose_exp(xi))
+        np.testing.assert_allclose(se3np.pose_log(p),
+                                   np.asarray(se3.pose_log(p)),
+                                   atol=1e-5)
+        a = np.asarray(se3.pose_exp(rng.normal(scale=0.8, size=6)
+                                    .astype(np.float32)))
+        b = np.asarray(se3.pose_exp(rng.normal(scale=0.8, size=6)
+                                    .astype(np.float32)))
+        m = np.asarray(se3.pose_exp(rng.normal(scale=0.3, size=6)
+                                    .astype(np.float32)))
+        np.testing.assert_allclose(
+            se3np.pose_error(m, a, b),
+            np.asarray(se3.pose_error(m, a, b)), atol=1e-4)
