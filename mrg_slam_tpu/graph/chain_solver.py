@@ -125,11 +125,29 @@ def _sym_sqrt(W: jnp.ndarray) -> jnp.ndarray:
 
 
 class ChainFactors(NamedTuple):
-    cholA: jnp.ndarray     # (Sg, mi, mi) per-segment interior Cholesky
-    E: jnp.ndarray         # (Sg, mi, 12) interior->[left,right] separators
-    F: jnp.ndarray         # (Sg, mi, 12) A^{-1} E
+    """With `axis_name` set (distributed factorization) cholA/E/F hold only
+    the LOCAL shard's segment panels — (Sg/n_shards, ...) — while cholR
+    and Tp_inv stay replicated."""
+
+    cholA: jnp.ndarray     # (Sg[_loc], mi, mi) per-segment interior Cholesky
+    E: jnp.ndarray         # (Sg[_loc], mi, 12) interior->[left,right] seps
+    F: jnp.ndarray         # (Sg[_loc], mi, 12) A^{-1} E
     cholR: jnp.ndarray     # (6*Sg, 6*Sg) reduced separator Cholesky
     Tp_inv: jnp.ndarray    # (P, 3, 3) plane-block inverses
+
+
+def _my_shard(axis_name) -> jnp.ndarray:
+    return jax.lax.axis_index(axis_name) if axis_name else jnp.int32(0)
+
+
+def _scatter_psum(local: jnp.ndarray, seg0, Sg: int, axis_name):
+    """Place this shard's segment-panel rows at their global offset and
+    psum — the collective that assembles a replicated per-segment array
+    from per-device panels (each device owns a disjoint slice, so the sum
+    IS the concatenation)."""
+    full = jnp.zeros((Sg,) + local.shape[1:], local.dtype)
+    full = jax.lax.dynamic_update_slice_in_dim(full, local, seg0, 0)
+    return jax.lax.psum(full, axis_name) if axis_name else full
 
 
 def _chain_T(g, lin, lam, d_n, d_p, free_n, free_p):
@@ -187,20 +205,39 @@ def _chain_T(g, lin, lam, d_n, d_p, free_n, free_p):
     return Td, Toff, Tp
 
 
-def _factor_T(Td, Toff, Tp, K: int) -> ChainFactors:
+def _factor_T(Td, Toff, Tp, K: int, axis_name=None,
+              n_shards: int = 1) -> ChainFactors:
     """Two-level factorization of block-tridiagonal T.
 
     Segments of K nodes; interiors = first K−1 nodes per segment,
     separators = each segment's last node. Batched dense interior
-    Cholesky -> Schur onto separators -> dense reduced Cholesky."""
+    Cholesky -> Schur onto separators -> dense reduced Cholesky.
+
+    Distributed (`axis_name` set): the segment panels shard over the mesh
+    axis — each device Cholesky-factors its Sg/n_shards interior panels
+    (the FLOPs of the factorization) from the replicated Td/Toff, the
+    per-segment Schur contributions G are psum-assembled, and the tiny
+    6S×6S reduced separator system (the Schur complement onto the
+    separators) is factored replicated on every device. This is the
+    survey's 'distributed Gauss-Newton with Schur complement + psum +
+    solve on the reduced system' (SURVEY.md §2.7) applied to the chain
+    backend — the cholmod-at-any-size replacement
+    (graph_slam.cpp:28-30,353)."""
     n = Td.shape[0]
     assert n % K == 0, (n, K)
     Sg, mi = n // K, 6 * (K - 1)
+    assert Sg % n_shards == 0, (Sg, n_shards)
+    Sg_loc = Sg // n_shards
+    seg0 = _my_shard(axis_name) * Sg_loc
+    segs = seg0 + jnp.arange(Sg_loc)                  # global segment ids
 
-    # per-segment dense interior matrices (Sg, K-1, K-1, 6, 6)
-    Dseg = Td.reshape(Sg, K, 6, 6)[:, : K - 1]
-    Oseg = Toff.reshape(Sg, K, 6, 6)[:, : K - 2] if K > 2 else None
-    A = jnp.zeros((Sg, K - 1, K - 1, 6, 6), jnp.float32)
+    # this shard's dense interior matrices (Sg_loc, K-1, K-1, 6, 6)
+    Td_loc = jax.lax.dynamic_slice_in_dim(Td, seg0 * K, Sg_loc * K, 0)
+    Toff_loc = jax.lax.dynamic_slice_in_dim(Toff, seg0 * K, Sg_loc * K, 0)
+    Dseg = Td_loc.reshape(Sg_loc, K, 6, 6)[:, : K - 1]
+    Oseg = (Toff_loc.reshape(Sg_loc, K, 6, 6)[:, : K - 2]
+            if K > 2 else None)
+    A = jnp.zeros((Sg_loc, K - 1, K - 1, 6, 6), jnp.float32)
     ii = jnp.arange(K - 1)
     A = A.at[:, ii, ii].set(Dseg)
     if K > 2:
@@ -208,23 +245,25 @@ def _factor_T(Td, Toff, Tp, K: int) -> ChainFactors:
         A = A.at[:, jj, jj + 1].set(Oseg)
         A = A.at[:, jj + 1, jj].set(
             jnp.swapaxes(Oseg, -1, -2))
-    A = A.transpose(0, 1, 3, 2, 4).reshape(Sg, mi, mi)
+    A = A.transpose(0, 1, 3, 2, 4).reshape(Sg_loc, mi, mi)
     cholA = jnp.linalg.cholesky(A)
 
-    # interior -> separator couplings E (Sg, mi, 12): cols 0:6 left sep
-    # (segment s-1's last node, via Toff[sK-1]ᵀ at interior row 0), cols
-    # 6:12 right sep (own last node, via Toff[sK+K-2] at interior row K-2)
-    left = Toff[jnp.maximum(jnp.arange(Sg) * K - 1, 0)]
-    left = left * (jnp.arange(Sg) > 0)[:, None, None]
-    right = Toff.reshape(Sg, K, 6, 6)[:, K - 2]
-    E = jnp.zeros((Sg, K - 1, 6, 12), jnp.float32)
+    # interior -> separator couplings E (Sg_loc, mi, 12): cols 0:6 left
+    # sep (segment s-1's last node, via Toff[sK-1]ᵀ at interior row 0),
+    # cols 6:12 right sep (own last node, via Toff[sK+K-2] at row K-2)
+    left = Toff[jnp.maximum(segs * K - 1, 0)]
+    left = left * (segs > 0)[:, None, None]
+    right = Toff_loc.reshape(Sg_loc, K, 6, 6)[:, K - 2]
+    E = jnp.zeros((Sg_loc, K - 1, 6, 12), jnp.float32)
     E = E.at[:, 0, :, 0:6].set(jnp.swapaxes(left, -1, -2))
     E = E.at[:, K - 2, :, 6:12].set(right)
-    E = E.reshape(Sg, mi, 12)
+    E = E.reshape(Sg_loc, mi, 12)
     F = jax.scipy.linalg.cho_solve((cholA, True), E)
 
-    # reduced separator system (block-tridiagonal, assembled dense)
-    G = jnp.einsum("sic,sid->scd", E, F)              # (Sg, 12, 12)
+    # reduced separator system (block-tridiagonal, assembled dense):
+    # per-shard Schur contributions psum into the replicated G
+    G = _scatter_psum(jnp.einsum("sic,sid->scd", E, F), seg0, Sg,
+                      axis_name)                      # (Sg, 12, 12)
     sep = Td.reshape(Sg, K, 6, 6)[:, K - 1]           # (Sg, 6, 6)
     Rd = sep - G[:, 6:12, 6:12]
     Rd = Rd.at[:-1].add(-G[1:, 0:6, 0:6])
@@ -242,16 +281,26 @@ def _factor_T(Td, Toff, Tp, K: int) -> ChainFactors:
 
 
 def _solve_T(fac: ChainFactors, b_n: jnp.ndarray, b_p: jnp.ndarray,
-             K: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """T^{-1} applied to stacked RHS b_n (N, 6, k), b_p (P, 3, k)."""
+             K: int, axis_name=None,
+             n_shards: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """T^{-1} applied to stacked RHS b_n (N, 6, k), b_p (P, 3, k).
+
+    Distributed: interior forward/backward substitutions run on each
+    shard's local segment panels; the separator RHS reductions and the
+    back-substituted interiors psum-assemble into the replicated result
+    (two collectives per application)."""
     n, _, k = b_n.shape
     Sg, mi = n // K, 6 * (K - 1)
-    bseg = b_n.reshape(Sg, K, 6, k)
-    b_int = bseg[:, : K - 1].reshape(Sg, mi, k)
-    b_sep = bseg[:, K - 1]                            # (Sg, 6, k)
+    Sg_loc = Sg // n_shards
+    seg0 = _my_shard(axis_name) * Sg_loc
+    b_loc = jax.lax.dynamic_slice_in_dim(b_n, seg0 * K, Sg_loc * K, 0)
+    b_int = b_loc.reshape(Sg_loc, K, 6, k)[:, : K - 1].reshape(
+        Sg_loc, mi, k)
+    b_sep = b_n.reshape(Sg, K, 6, k)[:, K - 1]        # (Sg, 6, k) repl.
 
     y = jax.scipy.linalg.cho_solve((fac.cholA, True), b_int)
-    r_red = jnp.einsum("sic,sik->sck", fac.E, y)      # (Sg, 12, k)
+    r_red = _scatter_psum(jnp.einsum("sic,sik->sck", fac.E, y), seg0, Sg,
+                          axis_name)                  # (Sg, 12, k)
     r_sep = b_sep - r_red[:, 6:12]
     r_sep = r_sep.at[:-1].add(-r_red[1:, 0:6])
     x_sep = jax.scipy.linalg.cho_solve(
@@ -259,10 +308,11 @@ def _solve_T(fac: ChainFactors, b_n: jnp.ndarray, b_p: jnp.ndarray,
     # gather [left, right] separator values per segment
     x_left = jnp.concatenate([jnp.zeros((1, 6, k)), x_sep[:-1]], axis=0)
     x_lr = jnp.concatenate([x_left, x_sep], axis=1)   # (Sg, 12, k)
-    x_int = y - jnp.einsum("sic,sck->sik", fac.F, x_lr)
-    x_n = jnp.concatenate(
-        [x_int.reshape(Sg, K - 1, 6, k), x_sep[:, None]], axis=1
-    ).reshape(n, 6, k)
+    x_lr_loc = jax.lax.dynamic_slice_in_dim(x_lr, seg0, Sg_loc, 0)
+    x_int_loc = y - jnp.einsum("sic,sck->sik", fac.F, x_lr_loc)
+    x_int = _scatter_psum(x_int_loc.reshape(Sg_loc, K - 1, 6, k), seg0,
+                          Sg, axis_name)
+    x_n = jnp.concatenate([x_int, x_sep[:, None]], axis=1).reshape(n, 6, k)
     x_p = (jnp.einsum("pij,pjk->pik", fac.Tp_inv, b_p)
            if b_p.shape[0] else b_p)
     return x_n, x_p
@@ -351,11 +401,19 @@ def _Ut_dot(parts, Y_n, Y_p):
     return jnp.concatenate(outs, axis=0)
 
 
-def chain_delta(g, lin, lam, aux: ChainAux, K: int):
+def chain_delta(g, lin, lam, aux: ChainAux, K: int, axis_name=None,
+                n_shards: int = 1):
     """Exact damped Newton step via T+UUᵀ Woodbury.
 
     Drop-in for dense_delta inside the LM body: returns
-    (dx_n (N,6), dx_p (P,3), predicted_reduction, grad_inf_norm)."""
+    (dx_n (N,6), dx_p (P,3), predicted_reduction, grad_inf_norm).
+
+    With `axis_name` (inside a shard_map whose graph inputs are
+    REPLICATED — not edge-sharded) the segment panels of the
+    factorization and of every T-solve shard over the mesh axis; the O(E)
+    linearization reductions stay replicated, which is cheap next to the
+    panel Cholesky + multi-RHS Woodbury solves that dominate past the
+    dense envelope."""
     n, p = g.n_nodes, g.n_planes
     free_n, free_p = S._free_masks(g)
 
@@ -379,7 +437,8 @@ def chain_delta(g, lin, lam, aux: ChainAux, K: int):
     Toff = Toff * sc_n[:, :, None] * jnp.roll(sc_n, -1, 0)[:, None, :]
     if p:
         Tp = Tp * sc_p[:, :, None] * sc_p[:, None, :]
-    fac = _factor_T(Td, Toff, Tp, K)
+    fac = _factor_T(Td, Toff, Tp, K, axis_name=axis_name,
+                    n_shards=n_shards)
 
     parts = _coupling_U(g, lin, aux, free_n, free_p)
     # scale U rows like b: U' = S U
@@ -399,7 +458,8 @@ def chain_delta(g, lin, lam, aux: ChainAux, K: int):
             U_n, U_p = _U_dense(parts, n, p, mtot)
             rhs_n = jnp.concatenate([r_n[:, :, None], U_n], axis=2)
             rhs_p = jnp.concatenate([r_p[:, :, None], U_p], axis=2)
-            Y_n, Y_p = _solve_T(fac, rhs_n, rhs_p, K)
+            Y_n, Y_p = _solve_T(fac, rhs_n, rhs_p, K, axis_name=axis_name,
+                                n_shards=n_shards)
             UtY = _Ut_dot(parts, Y_n, Y_p)            # (6m, 1+6m)
             Smat = jnp.eye(6 * mtot) + UtY[:, 1:]
             z = jnp.linalg.solve(Smat, UtY[:, 0])
@@ -407,7 +467,8 @@ def chain_delta(g, lin, lam, aux: ChainAux, K: int):
             x_p = (Y_p[:, :, 0] - jnp.einsum("pic,c->pi", Y_p[:, :, 1:], z)
                    if p else r_p)
             return x_n, x_p
-        x_n, x_p = _solve_T(fac, r_n[:, :, None], r_p[:, :, None], K)
+        x_n, x_p = _solve_T(fac, r_n[:, :, None], r_p[:, :, None], K,
+                            axis_name=axis_name, n_shards=n_shards)
         return x_n[:, :, 0], x_p[:, :, 0]
 
     x_n, x_p = wsolve(b_n, b_p)

@@ -598,12 +598,18 @@ def _optimize_split(stat, dyn, g: PoseGraphData, aux=None) -> OptimizeResult:
 
 
 def _optimize_body(stat, dyn, g: PoseGraphData,
-                   axis_name=None, aux=None) -> OptimizeResult:
+                   axis_name=None, aux=None, chain_axis=None,
+                   chain_shards: int = 1) -> OptimizeResult:
     """Shared LM loop. With `axis_name` set this body runs SPMD inside a
     shard_map over edge shards (parallel/dist_solver.py) — every reduction
     (chi2, gradient, diag blocks, dense assembly, Hv) psums over that axis
     and the replicated-state control flow (lambda schedule, accept/reject,
-    early stop) is byte-identical to the single-device path."""
+    early stop) is byte-identical to the single-device path.
+
+    The chain backend distributes differently: the graph stays REPLICATED
+    (axis_name must be None so edge reductions are not double-counted)
+    and `chain_axis`/`chain_shards` shard the factorization's segment
+    panels over the mesh instead (chain_solver._factor_T docstring)."""
     solver_backend, is_lm, chain_K = stat
     max_outer = dyn["max_outer"]
 
@@ -631,7 +637,9 @@ def _optimize_body(stat, dyn, g: PoseGraphData,
         elif solver_backend == "chain":
             from .chain_solver import chain_delta
             dx_n, dx_p, pred, gnorm = chain_delta(g_, lin, lam, aux,
-                                                  chain_K)
+                                                  chain_K,
+                                                  axis_name=chain_axis,
+                                                  n_shards=chain_shards)
         else:
             D_n, D_p = block_diagonal(g_, lin, axis_name=axis_name)
             d_n = jnp.diagonal(D_n, axis1=-2, axis2=-1)

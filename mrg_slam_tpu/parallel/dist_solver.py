@@ -77,32 +77,76 @@ def pad_edges_to(g: PoseGraphData, multiple: int) -> PoseGraphData:
 
 
 def optimize_distributed(g: PoseGraphData, cfg: OptimizerConfig,
-                         mesh: Mesh) -> solve.OptimizeResult:
+                         mesh: Mesh, aux=None) -> solve.OptimizeResult:
     """Distributed LM: identical semantics to graph.solve.optimize, with
     every reduction psum'd over the edge-shard axis. `cfg.solver_backend`
     picks the step solver: "cg" is fully matrix-free (memory O(D));
     "dense" assembles the Hessian from the edge shards via one psum and
     factorizes replicated — exact steps for graphs whose (6N+3P)^2 fits a
-    chip (~2k nodes at f32).
+    chip (~2k nodes at f32); "chain" (the large-graph exact path, and the
+    "auto" route past the dense envelope) shards the segmented
+    block-tridiagonal factorization's panels over the mesh with a psum'd
+    Schur complement onto a replicated reduced separator system.
 
     Like the single-device path, only program structure (is_lm, the mesh) is
     jit-static; iteration caps and tolerances ride as traced scalars so
     retuning never recompiles the SPMD program.
     """
-    backend = cfg.solver_backend
-    if backend == "auto":
-        # the SPMD body supports the dense (psum'd assembly + replicated
-        # Cholesky) and matrix-free cg steps; the chain factorization is a
-        # single-device program, so past the dense envelope auto falls to
-        # cg here rather than chain
-        backend = solve.resolve_backend("auto", g.poses.shape[0],
-                                        g.planes.shape[0],
-                                        cfg.auto_dense_max_dofs)
-        if backend == "chain":
-            backend = "cg"
+    backend = solve.resolve_backend(cfg.solver_backend, g.poses.shape[0],
+                                    g.planes.shape[0],
+                                    cfg.auto_dense_max_dofs)
+    if backend == "chain":
+        # past the dense envelope `auto` routes to the distributed chain
+        # factorization (segment panels sharded over the mesh, psum'd
+        # Schur complement onto the replicated reduced separator system)
+        # — the multi-device cholmod replacement. Graph inputs replicate.
+        if aux is None:
+            aux = solve.chain_aux_for(g)
+        (_, is_lm, _), dyn = solve.split_optimizer(
+            dataclasses.replace(cfg, solver_backend="cg"))
+        K = _chain_K_dist(g.poses.shape[0], mesh.shape[AXIS])
+        return _optimize_distributed_chain(is_lm, K, mesh, dyn, g, aux)
     (backend, is_lm, _), dyn = solve.split_optimizer(
         dataclasses.replace(cfg, solver_backend=backend))
     return _optimize_distributed_split(is_lm, backend, mesh, dyn, g)
+
+
+def _chain_K_dist(n: int, n_dev: int) -> int:
+    """Segment length for the distributed chain: like solve._chain_K but
+    the segment count must also divide evenly across the mesh."""
+    k = solve._chain_K(n)
+    while k > 2 and (n // k) % n_dev:
+        k //= 2
+    assert (n // k) % n_dev == 0, (
+        f"node capacity {n} cannot split {n // k} segments over "
+        f"{n_dev} devices — use a power-of-two capacity")
+    return k
+
+
+@functools.partial(jax.jit, static_argnames=("is_lm", "K", "mesh"))
+def _optimize_distributed_chain(is_lm, K: int, mesh: Mesh, dyn,
+                                g: PoseGraphData,
+                                aux) -> solve.OptimizeResult:
+    """Distributed chain backend: graph REPLICATED over the mesh (no edge
+    sharding — the O(E) linearization is cheap past the dense envelope),
+    factorization segment panels sharded (chain_solver._factor_T)."""
+    n_dev = mesh.shape[AXIS]
+    rep = jax.tree.map(lambda _: P(), g)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(rep, jax.tree.map(lambda _: P(), dyn),
+                  jax.tree.map(lambda _: P(), aux)),
+        out_specs=jax.tree.map(lambda _: P(), solve.OptimizeResult(
+            *[0] * len(solve.OptimizeResult._fields))),
+        check_vma=False)
+    def run(g_rep: PoseGraphData, dyn, aux) -> solve.OptimizeResult:
+        return solve._optimize_body(("chain", is_lm, K), dyn, g_rep,
+                                    aux=aux, chain_axis=AXIS,
+                                    chain_shards=n_dev)
+
+    with jax.default_matmul_precision("highest"):
+        return run(g, dyn, aux)
 
 
 @functools.partial(jax.jit, static_argnames=("is_lm", "backend", "mesh"))
