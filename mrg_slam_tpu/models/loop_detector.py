@@ -85,10 +85,30 @@ class LoopDetector:
         if not requests:
             return [], []
 
-        results = self.runner.run(requests)
-        extra_results = results[: len(extra_requests)]
-        loops = self.resolve(jobs, check_slices, results,
-                             len(extra_requests))
+        # Adaptive dispatch shape: the speculative single-dispatch is the
+        # right trade while the check rows cost less than the ~40 ms
+        # dispatch+fetch round trip they avoid (they do at MR scan sizes,
+        # CLAUDE.md: +5 ms for 2x width at 4096 pts). At production
+        # sizes the pair program is row-volume bound — measured on-chip
+        # at 8192-pt clouds: ~165 ms at 16 rows, ~500 ms at 64 — and the
+        # speculative check rows double the candidate row count, so a
+        # busy tick drops them from the batch and runs the winners' 1-2
+        # check rows as a small second dispatch instead
+        # (PairRunner.speculation_budget_rows is the cost model).
+        n_check = sum(len(checks)
+                      for (_, checks) in check_slices.values())
+        cap0 = requests[0].target.cloud.capacity
+        if n_check > self.runner.speculation_budget_rows(cap0):
+            phase1 = requests[: len(requests) - n_check]
+            results = self.runner.run(phase1)
+            extra_results = results[: len(extra_requests)]
+            loops = self._resolve_two_phase(db, jobs, results,
+                                            len(extra_requests))
+        else:
+            results = self.runner.run(requests)
+            extra_results = results[: len(extra_requests)]
+            loops = self.resolve(jobs, check_slices, results,
+                                 len(extra_requests))
         if jobs:
             self.loop_detection_times.append(
                 (time.perf_counter() - t0) * 1e6)
@@ -147,18 +167,12 @@ class LoopDetector:
                             max_iters=self.reg_cfg.reg_maximum_iterations))
         return requests, jobs, check_slices
 
-    def resolve(self, jobs, check_slices, results, n_extra: int
-                ) -> List[Loop]:
-        """Selection + consistency acceptance over the single batch.
-
-        Selection: best gated fitness per new keyframe, skipping
-        non-converged candidates, thresholded on fitness_score_thresh
-        (loop_detector.cpp:150-160). Acceptance: composed-cycle test
-        (loop ∘ odom ∘ loop^-1 ≈ I) on the winner's precomputed
-        neighbor-check rows (loop_detector.cpp:243-303).
-        """
-        loops: List[Loop] = []
-        k = n_extra
+    def _select(self, jobs, results, k: int):
+        """Phase-1 selection: best gated fitness per new keyframe,
+        skipping non-converged candidates, thresholded on
+        fitness_score_thresh (loop_detector.cpp:150-160). Returns
+        [(job_idx, new_kf, winner, winner_idx, winner_result)]."""
+        winners = []
         for j, (new_kf, candidates) in enumerate(jobs):
             best, best_c = None, -1
             best_score = float("inf")
@@ -173,8 +187,23 @@ class LoopDetector:
                         cand, res.fitness_range, res, c)
             if best is None or best_score > self.cfg.fitness_score_thresh:
                 continue
-            if (not self.cfg.enable_loop_closure_consistency_check
-                    or best.first_keyframe or best.static_keyframe):
+            winners.append((j, new_kf, best, best_c, best_res))
+        return winners
+
+    def _check_exempt(self, best: KeyFrame) -> bool:
+        return (not self.cfg.enable_loop_closure_consistency_check
+                or best.first_keyframe or best.static_keyframe)
+
+    def resolve(self, jobs, check_slices, results, n_extra: int
+                ) -> List[Loop]:
+        """Selection + consistency acceptance over the single speculative
+        batch. Acceptance: composed-cycle test (loop ∘ odom ∘ loop^-1 ≈ I)
+        on the winner's precomputed neighbor-check rows
+        (loop_detector.cpp:243-303)."""
+        loops: List[Loop] = []
+        for j, new_kf, best, best_c, best_res in self._select(
+                jobs, results, n_extra):
+            if self._check_exempt(best):
                 loops.append(self._accept(new_kf, best, best_res))
                 continue
             off, checks = check_slices[(j, best_c)]
@@ -189,6 +218,49 @@ class LoopDetector:
                     ok = True
             if ok:
                 loops.append(self._accept(new_kf, best, best_res))
+        return loops
+
+    def _resolve_two_phase(self, db: GraphDatabase, jobs, results,
+                           n_extra: int) -> List[Loop]:
+        """Row-lean acceptance for busy ticks: select winners from the
+        candidate-only batch, then run ONLY the winners' odom-neighbor
+        consistency registrations as a (small) second dispatch — the
+        reference's own ordering (loop_detector.cpp:190-303), traded back
+        in when the speculative rows stop being free (row-volume-bound
+        regime, see detect)."""
+        winners = self._select(jobs, results, n_extra)
+        loops: List[Loop] = []
+        pending = []  # (new_kf, best, best_res, checks, row_offset)
+        check_reqs: List[PairRequest] = []
+        for j, new_kf, best, best_c, best_res in winners:
+            if self._check_exempt(best):
+                loops.append(self._accept(new_kf, best, best_res))
+                continue
+            checks = self._neighbor_checks(best, db)
+            if not checks:
+                continue  # no odom neighbors to verify against -> reject
+            new_est = np.asarray(new_kf.estimate(db.graph))
+            pending.append((new_kf, best, best_res, checks,
+                            len(check_reqs)))
+            for nb_kf, odom_rel, kind in checks:
+                check_reqs.append(PairRequest(
+                    target=new_kf, source=nb_kf,
+                    init_pose=self._guess(new_est,
+                                          nb_kf.estimate(db.graph)),
+                    max_iters=self.reg_cfg.reg_maximum_iterations))
+        if check_reqs:
+            check_results = self.runner.run(check_reqs)
+            for new_kf, best, best_res, checks, off in pending:
+                ok = False
+                for i, (nb_kf, odom_rel, kind) in enumerate(checks):
+                    if ok:
+                        continue
+                    if self._cycle_closes(best_res.pose,
+                                          check_results[off + i].pose,
+                                          odom_rel, kind):
+                        ok = True
+                if ok:
+                    loops.append(self._accept(new_kf, best, best_res))
         return loops
 
     # ------------------------------------------------------------------

@@ -82,6 +82,18 @@ class PairRunner:
             b *= 2
         return b
 
+    # Row-work equivalent of one extra dispatch + tunnel fetch (~40 ms):
+    # measured on-chip the pair program costs ~8-10 ms per 8192-pt
+    # registration row (~1 ms per 1024-pt row), so speculative rows that
+    # exceed this many point-rows cost more than the round trip they
+    # save. Used by LoopDetector.detect to choose between the
+    # speculative single-dispatch and the two-phase winners-only shape.
+    FREE_ROW_POINTS = 64 * 1024
+
+    def speculation_budget_rows(self, capacity: int) -> int:
+        return max(self.FREE_ROW_POINTS // max(capacity, 1),
+                   self.MIN_BUCKET)
+
     def __init__(self, reg_cfg: RegistrationConfig):
         # GICP-family targets are covariance clouds; VGICP/NDT targets are
         # Gaussian voxel maps — both families run the same packed
