@@ -119,12 +119,23 @@ class MrgSlam:
     # front-end entry
     # ------------------------------------------------------------------
     def process_scan(self, stamp: float, odom_pose: np.ndarray,
-                     cloud: PointCloud) -> Optional[PoseWithName]:
+                     cloud: PointCloud,
+                     source_covs=None) -> Optional[PoseWithName]:
         """Keyframe admission + other-robot point removal + enqueue.
 
         `odom_pose` is the scan-matching odometry estimate (odom frame);
         `cloud` is the prefiltered scan in the base frame. Returns our
         PoseWithName odom broadcast (sent every scan, :450-455).
+
+        `source_covs` ((P,3,3) device array): this scan's GICP
+        covariances, when the front-end already computed them over the
+        SAME cloud with covariance-compatible registration settings
+        (ops.registration.covariance_compatible; odometry_fused emits
+        them as OdomStepOut.covs). Seeds the keyframe's pair-program
+        cache so the tick's covariance prefetch dispatch vanishes —
+        without it the batched prefetch was ~300 ms of the production
+        tick's device wall. Ignored when point removal modified the
+        cloud (the covariances would be stale).
         """
         accepted = self.keyframe_updater.update(odom_pose)
         accum = self.keyframe_updater.accum_distance
@@ -134,11 +145,16 @@ class MrgSlam:
         if not accepted:
             return broadcast
 
-        cloud = self._remove_other_robot_points(odom_pose, cloud)
-        self.db.add_odom_keyframe(stamp, odom_pose, accum, cloud)
-        # covariance preprocessing happens as ONE vmapped dispatch at the
-        # next tick (PairRunner.prefetch_batch): per-admission prefetch
-        # paid a full ~30 ms tunnel dispatch per keyframe
+        cloud2 = self._remove_other_robot_points(odom_pose, cloud)
+        kf = self.db.add_odom_keyframe(stamp, odom_pose, accum, cloud2)
+        if source_covs is not None and cloud2 is cloud:
+            from ..ops.covariance import GICPCloud
+            kf._gicp_cache = GICPCloud(cloud.points, cloud.mask,
+                                       source_covs)
+        # otherwise covariance preprocessing happens as ONE vmapped
+        # dispatch at the next tick (PairRunner.prefetch_batch):
+        # per-admission prefetch paid a full ~30 ms tunnel dispatch per
+        # keyframe
         return broadcast
 
     def _remove_other_robot_points(self, odom_pose: np.ndarray,

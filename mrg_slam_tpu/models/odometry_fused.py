@@ -49,6 +49,13 @@ class OdomStepOut(NamedTuple):
     converged: jnp.ndarray       # bool
     error: jnp.ndarray           # f32
     num_inliers: jnp.ndarray     # i32
+    # (P,3,3) source GICP covariances of this scan — the back-end's
+    # per-keyframe cache wants exactly these (PairRunner.gicp), so a
+    # front-end with covariance-compatible registration settings
+    # (reg.covariance_compatible) hands them to process_scan and the
+    # tick's covariance prefetch dispatch disappears (measured ~300 ms
+    # of the production tick's device wall, r5 probe)
+    covs: jnp.ndarray
 
 
 def init_carry(capacity: int) -> OdomCarry:
@@ -157,7 +164,8 @@ def _odometry_step_split(stat, dyn, carry: OdomCarry,
         initialized=jnp.bool_(True), rejections=rejections)
     out = OdomStepOut(pose=pose, delta=delta, is_new_keyframe=new_kf,
                       converged=ok,
-                      error=result.error, num_inliers=result.num_inliers)
+                      error=result.error, num_inliers=result.num_inliers,
+                      covs=source.covs)
     return carry2, out
 
 

@@ -102,10 +102,16 @@ class SharedGraphSlam:
     # ------------------------------------------------------------------
     def process_scan(self, robot_name: str, stamp: float,
                      odom_pose: np.ndarray,
-                     cloud: PointCloud) -> Optional[PoseWithName]:
+                     cloud: PointCloud,
+                     source_covs=None) -> Optional[PoseWithName]:
         """Keyframe admission for one robot's scan (cloud_callback,
         mrg_slam_component.cpp:358). Other-robot point removal uses the
-        co-hosted views' live positions directly — no broadcast hop."""
+        co-hosted views' live positions directly — no broadcast hop.
+
+        `source_covs`: front-end GICP covariances over the same cloud —
+        seeds the keyframe's pair-program cache exactly like
+        MrgSlam.process_scan (covariance-compatibility is the caller's
+        contract; dropped when point removal modified the cloud)."""
         view = self.views[robot_name]
         view.last_odom_pose = np.asarray(odom_pose, np.float32)
         accepted = view.keyframe_updater.update(odom_pose)
@@ -116,12 +122,16 @@ class SharedGraphSlam:
         if not accepted:
             return broadcast
 
-        cloud = self._remove_other_robot_points(view, odom_pose, cloud)
-        self.db.add_odom_keyframe(stamp, odom_pose, accum, cloud,
-                                  robot_name=robot_name,
-                                  slam_uuid=view.slam_uuid)
-        # covariances are batch-prefetched at the tick (one vmapped
-        # dispatch per ~16 admissions across the whole fleet)
+        cloud2 = self._remove_other_robot_points(view, odom_pose, cloud)
+        kf = self.db.add_odom_keyframe(stamp, odom_pose, accum, cloud2,
+                                       robot_name=robot_name,
+                                       slam_uuid=view.slam_uuid)
+        if source_covs is not None and cloud2 is cloud:
+            from ..ops.covariance import GICPCloud
+            kf._gicp_cache = GICPCloud(cloud.points, cloud.mask,
+                                       source_covs)
+        # otherwise covariances are batch-prefetched at the tick (one
+        # vmapped dispatch per ~16 admissions across the whole fleet)
         return broadcast
 
     def _remove_other_robot_points(self, view: _RobotView,

@@ -111,6 +111,28 @@ def is_gicp_like(method: str) -> bool:
     return method in ("SMALL_GICP", "FAST_GICP", "GICP", "GICP_OMP", "ICP")
 
 
+def covariance_compatible(a, b) -> bool:
+    """True when `make_source(cloud, a)` and `make_source(cloud, b)` yield
+    identical covariances — the gate for reusing a front-end's per-scan
+    GICP covariances as the back-end's per-keyframe cache
+    (models/backend.py process_scan source_covs)."""
+    ga, gb = is_gicp_like(a.registration_method), is_gicp_like(
+        b.registration_method)
+    if not (ga and gb):
+        return False
+    ia, ib = a.registration_method == "ICP", b.registration_method == "ICP"
+    if ia != ib:
+        return False
+    if ia:
+        return True  # both identity covariances
+    if a.reg_covariance_mode != b.reg_covariance_mode:
+        return False
+    if a.reg_covariance_mode == "radius":
+        return a.reg_covariance_radius == b.reg_covariance_radius
+    return (a.reg_correspondence_randomness
+            == b.reg_correspondence_randomness)
+
+
 def make_target(cloud: PointCloud, params: RegistrationConfig,
                 voxel_capacity: int = 16384) -> RegistrationTarget:
     """Preprocess a target cloud for the configured method."""

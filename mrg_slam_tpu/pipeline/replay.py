@@ -168,6 +168,9 @@ def replay_fused(robot: Robot,
             PointCloud(p, m), pre_cfg, base_transform=base_tf))(pts, masks)
         return out.points, out.mask
 
+    from ..ops import registration as _reg
+    covs_ok = _reg.covariance_compatible(cfg.odometry.registration,
+                                         cfg.slam.registration)
     carry = fused.init_carry(cfg.prefilter.capacity_filtered_points)
     t0 = time.perf_counter()
     for s in range(0, n, tick_every):
@@ -194,7 +197,9 @@ def replay_fused(robot: Robot,
         poses = np.asarray(outs.pose)  # one fetch per block
         for i in range(len(chunk)):
             robot.slam.process_scan(float(stamps[i]), poses[i],
-                                    PointCloud(fpts[i], fmask[i]))
+                                    PointCloud(fpts[i], fmask[i]),
+                                    source_covs=(outs.covs[i] if covs_ok
+                                                 else None))
             robot.est_poses.append(robot.slam.map_pose(poses[i]))
             robot.stamps.append(float(stamps[i]))
         robot.slam.optimization_tick(now=float(stamps[-1]))

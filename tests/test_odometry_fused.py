@@ -121,3 +121,45 @@ def test_fused_jump_rejection_blocks_alias():
         carry, out = fused.odometry_step(cfg, carry, pts[i], masks[i],
                                          jnp.float32(i * 0.1))
     assert np.linalg.norm(np.asarray(out.pose)[:3]) > 0.5
+
+
+def test_fused_covs_seed_backend_cache():
+    """OdomStepOut.covs must equal the backend's own make_source
+    covariances for the same cloud (covariance_compatible contract), so
+    process_scan(source_covs=...) seeds a byte-equivalent pair-program
+    cache and the tick's covariance prefetch is skipped."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from mrg_slam_tpu.config import (RegistrationConfig,
+                                     ScanMatchingOdometryConfig)
+    from mrg_slam_tpu.models import odometry_fused as fused
+    from mrg_slam_tpu.ops import registration as reg
+    from mrg_slam_tpu.ops.cloud import PointCloud
+
+    rng = np.random.default_rng(0)
+    cap, F = 512, 4
+    pts = rng.uniform(-10, 10, size=(F, cap, 3)).astype(np.float32)
+    pts[..., 2] = 0.1 * np.sin(pts[..., 0])
+    masks = np.ones((F, cap), bool)
+    r = RegistrationConfig(reg_covariance_mode="radius",
+                           reg_covariance_radius=1.0,
+                           reg_maximum_iterations=8)
+    cfg = ScanMatchingOdometryConfig(registration=r)
+    carry = fused.init_carry(cap)
+    carry, outs = fused.run_batch(cfg, carry, jnp.asarray(pts),
+                                  jnp.asarray(masks),
+                                  jnp.arange(F, dtype=jnp.float32))
+    assert outs.covs.shape == (F, cap, 3, 3)
+    # compatible config -> identical covariances to make_source
+    assert reg.covariance_compatible(r, r)
+    want = reg.make_source(PointCloud(jnp.asarray(pts[2]),
+                                      jnp.asarray(masks[2])), r)
+    np.testing.assert_allclose(np.asarray(outs.covs[2]),
+                               np.asarray(want.covs), atol=1e-5)
+    # incompatible settings are rejected by the gate
+    import dataclasses
+    other = dataclasses.replace(r, reg_covariance_radius=2.0)
+    assert not reg.covariance_compatible(r, other)
+    assert not reg.covariance_compatible(
+        r, dataclasses.replace(r, registration_method="NDT"))
