@@ -221,17 +221,32 @@ def write_bag(bag_file: str, topic: str,
               clouds: List[Tuple[float, np.ndarray]],
               msg_type: str = "sensor_msgs/msg/PointCloud2") -> None:
     """Create a minimal rosbag2-compatible .db3 with PointCloud2 messages."""
+    write_multi_bag(bag_file, {topic: clouds}, msg_type=msg_type)
+
+
+def write_multi_bag(bag_file: str,
+                    topics: "Dict[str, List[Tuple[float, np.ndarray]]]",
+                    msg_type: str = "sensor_msgs/msg/PointCloud2") -> None:
+    """Multi-topic bag writer — one PointCloud2 stream per robot namespace,
+    the shape the reference's Nebula fleet bags have
+    (nebula_multirobot_processor.py:70-95 reads per-robot topics from one
+    sqlite bag). Messages interleave in global timestamp order."""
     conn = sqlite3.connect(bag_file)
     conn.executescript(
         "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT,"
         " serialization_format TEXT, offered_qos_profiles TEXT);"
         "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER,"
         " timestamp INTEGER, data BLOB);")
-    conn.execute("INSERT INTO topics VALUES (1, ?, ?, 'cdr', '')",
-                 (topic, msg_type))
-    for i, (stamp, pts) in enumerate(clouds):
-        conn.execute("INSERT INTO messages VALUES (?, 1, ?, ?)",
-                     (i + 1, int(stamp * 1e9),
-                      serialize_pointcloud2(stamp, "velodyne", pts)))
+    rows = []
+    for tid, (topic, clouds) in enumerate(topics.items(), start=1):
+        conn.execute("INSERT INTO topics VALUES (?, ?, ?, 'cdr', '')",
+                     (tid, topic, msg_type))
+        for stamp, pts in clouds:
+            rows.append((tid, int(stamp * 1e9),
+                         serialize_pointcloud2(stamp, "velodyne", pts)))
+    rows.sort(key=lambda r: r[1])
+    for i, (tid, ts, payload) in enumerate(rows):
+        conn.execute("INSERT INTO messages VALUES (?, ?, ?, ?)",
+                     (i + 1, tid, ts, payload))
     conn.commit()
     conn.close()

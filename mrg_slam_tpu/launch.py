@@ -73,6 +73,11 @@ def main(argv=None):
     ap.add_argument("--sequence", default="00")
     ap.add_argument("--bag")
     ap.add_argument("--topic", default="/velodyne_points")
+    ap.add_argument("--robots",
+                    help="comma-separated robot namespaces: multi-robot "
+                         "fleet SLAM from one bag, one namespaced topic "
+                         "per robot (the reference's Nebula fleet shape)")
+    ap.add_argument("--topic-template", default="/{robot}/velodyne_points")
     ap.add_argument("--frames", type=int, default=120)
     ap.add_argument("--radius", type=float, default=18.0,
                     help="synthetic circle radius (m)")
@@ -108,6 +113,38 @@ def main(argv=None):
 
     out_dir = Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
+
+    if args.dataset == "rosbag" and args.robots:
+        # fleet-from-bag path (pipeline/bagfleet.py): one SLAM per robot
+        # topic, lock-step replay with uuid-delta graph exchange
+        from .models.persistence import save_graph
+        from .pipeline.bagfleet import run_fleet_from_bag
+
+        names = [n.strip() for n in args.robots.split(",") if n.strip()]
+        robots, results = run_fleet_from_bag(
+            cfg, args.bag, names, topic_template=args.topic_template,
+            tick_every=args.tick_every,
+            max_frames=args.frames if args.frames > 0 else 0)
+        summary = {}
+        for name in names:
+            rdir = out_dir / name
+            rdir.mkdir(parents=True, exist_ok=True)
+            save_graph(robots[name].slam, rdir / "graph")
+            db = robots[name].slam.db
+            inter = sum(
+                1 for e in db.edges if e.type == "loop"
+                and db.uuid_keyframe_map[e.from_uuid].robot_name
+                != db.uuid_keyframe_map[e.to_uuid].robot_name)
+            summary[name] = {
+                "frames": int(len(results[name].stamps)),
+                "keyframes": int(len(db.keyframes) + len(db.new_keyframes)),
+                "loops": results[name].num_loops,
+                "inter_robot_loops": inter,
+            }
+        (out_dir / "summary.json").write_text(
+            json.dumps(summary, indent=2))
+        print(json.dumps(summary))
+        return 0
 
     gt_xyz = None
     if args.dataset == "kitti":

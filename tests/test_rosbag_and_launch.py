@@ -157,3 +157,62 @@ def test_replay_fused_falls_back_with_floor():
     finally:
         rp.replay = orig
     assert called.get("yes")
+
+
+def test_fleet_from_bag_end_to_end(tmp_path):
+    """VERDICT r4 #6: multi-robot SLAM driven from ONE rosbag — two
+    namespaced PointCloud2 topics written with the serializer, read back
+    per robot, full fleet replay with graph exchange, inter-robot loop
+    closures > 0 (the nebula_multirobot_processor.py path)."""
+    import dataclasses
+
+    from mrg_slam_tpu.io.rosbag import write_multi_bag
+    from mrg_slam_tpu.io.synthetic import SyntheticWorld, circle_trajectory
+    from mrg_slam_tpu.pipeline.bagfleet import (read_fleet_frames,
+                                                run_fleet_from_bag)
+    from mrg_slam_tpu.pipeline.baseline_runs import _base_cfg
+
+    world = SyntheticWorld.build(seed=21, extent=35.0, n_ground=30000,
+                                 n_pillars=30, n_walls=12,
+                                 max_points_per_scan=8192, noise=0.02)
+    n = 80
+    traj = circle_trajectory(n, radius=14.0, laps=1.0)
+    frames = [(i * 0.1, world.scan(p, seed=i)) for i, p in enumerate(traj)]
+    start_b = 32
+    bag = str(tmp_path / "fleet.db3")
+    write_multi_bag(bag, {"/atlas/velodyne_points": frames[:48],
+                          "/bestla/velodyne_points": frames[start_b:]})
+
+    got = read_fleet_frames(bag, ["atlas", "bestla"])
+    assert len(got["atlas"]) == 48 and len(got["bestla"]) == 48
+    np.testing.assert_allclose(got["atlas"][0][1], frames[0][1], atol=1e-6)
+
+    cfg = _base_cfg()
+    cfg = dataclasses.replace(cfg, slam=dataclasses.replace(
+        cfg.slam,
+        exchange=dataclasses.replace(cfg.slam.exchange,
+                                     graph_request_min_time_delay=0.5,
+                                     graph_request_min_accum_dist=1.0)))
+
+    def ip(p):
+        yaw = 2.0 * np.arctan2(p[6], p[3])
+        return (float(p[0]), float(p[1]), float(p[2]), float(yaw), 0.0, 0.0)
+
+    robots, results = run_fleet_from_bag(
+        cfg, bag, ["atlas", "bestla"], tick_every=8,
+        init_poses={"atlas": ip(traj[0]), "bestla": ip(traj[start_b])})
+
+    inter_total = 0
+    for name, robot in robots.items():
+        db = robot.slam.db
+        own = [k for k in db.keyframes + db.new_keyframes
+               if k.robot_name == name]
+        remote = [k for k in db.keyframes + db.new_keyframes
+                  if k.robot_name != name]
+        assert len(own) >= 5, name
+        assert len(remote) > 0, f"{name}: graph exchange must merge peers"
+        inter_total += sum(
+            1 for e in db.edges if e.type == "loop"
+            and db.uuid_keyframe_map[e.from_uuid].robot_name
+            != db.uuid_keyframe_map[e.to_uuid].robot_name)
+    assert inter_total > 0, "overlap window must close inter-robot loops"
