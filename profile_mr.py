@@ -1,9 +1,16 @@
 """Scratch profiler: attribute the R-robot co-hosted SLAM cost end-to-end.
 
-Replicates bench.py's run_multirobot_scaling inner loop with phase timers
-so the 2/3/4-robot falloff can be attributed (host merge vs exchange vs
-tick device work). Run on the TPU:
-    python profile_mr.py [R]          # default R=3
+Replicates bench.py's run_multirobot_scaling inner loop (shared-graph
+co-hosting, fixed 240-scan survey) with phase timers so the 2/3/4-robot
+scaling rows can be attributed: device odometry dispatch vs host ingest
+(keyframe admission + covariance prefetch) vs the tick's pair program vs
+the joint LM solve. Run on the TPU:
+
+    python profile_mr.py            # all of R=2,3,4
+    python profile_mr.py 3          # one fleet size
+
+Writes one summary line per R to stdout; keep the output with the bench
+artifact when publishing scaling rows (VERDICT r4 #4).
 """
 
 import dataclasses
@@ -21,45 +28,54 @@ import numpy as np
 
 import bench
 
-RAW, FILTERED = bench.MR_RAW, bench.MR_FILTERED
-N_FRAMES, BLOCK = bench.MR_FRAMES, bench.MR_BLOCK
 
-T = defaultdict(float)
-C = defaultdict(int)
+class Phases:
+    def __init__(self):
+        self.t = defaultdict(float)
+        self.n = defaultdict(int)
+
+    class _Timer:
+        def __init__(self, ph, key):
+            self.ph, self.key = ph, key
+
+        def __enter__(self):
+            self.t0 = time.perf_counter()
+
+        def __exit__(self, *a):
+            self.ph.t[self.key] += time.perf_counter() - self.t0
+            self.ph.n[self.key] += 1
+
+    def __call__(self, key):
+        return self._Timer(self, key)
 
 
-class timer:
-    def __init__(self, key):
-        self.key = key
-
-    def __enter__(self):
-        self.t0 = time.perf_counter()
-
-    def __exit__(self, *a):
-        T[self.key] += time.perf_counter() - self.t0
-        C[self.key] += 1
-
-
-def main():
-    R = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-
+def run_profiled(R, reps=3):
     import jax
     import jax.numpy as jnp
 
     from mrg_slam_tpu.models import odometry_fused as fused
-    from mrg_slam_tpu.models.backend import MrgSlam
-    from mrg_slam_tpu.models.coordinator import SharedTick
+    from mrg_slam_tpu.models.shared_graph import SharedGraphSlam
     from mrg_slam_tpu.ops.cloud import PointCloud
     from mrg_slam_tpu.ops.prefilter import prefilter
 
-    dev = jax.devices()[0]
-    print(f"# device: {dev}  R={R}", file=sys.stderr)
-
     traj, scans = bench.build_world_and_scans()
-    raw, rmask = bench.stack_scans(scans, RAW)
+    raw, rmask = bench.stack_scans(scans, bench.MR_RAW)
     raw_d, rmask_d = jnp.asarray(raw), jnp.asarray(rmask)
-    stamps = jnp.arange(N_FRAMES, dtype=jnp.float32) * 0.1
-    pre_cfg, odo_cfg, slam_cfg = bench.make_configs(RAW, FILTERED)
+    stamps = jnp.arange(bench.MR_FRAMES, dtype=jnp.float32) * 0.1
+    pre_cfg, odo_cfg, slam_cfg = bench.make_configs(bench.MR_RAW,
+                                                    bench.MR_FILTERED)
+    # the same MR retuning bench.run_multirobot_scaling applies
+    odo_cfg = dataclasses.replace(
+        odo_cfg, keyframe_delta_translation=2.0,
+        registration=dataclasses.replace(odo_cfg.registration,
+                                         reg_transformation_epsilon=1e-3))
+    slam_cfg = dataclasses.replace(
+        slam_cfg,
+        loop=dataclasses.replace(slam_cfg.loop,
+                                 accum_distance_thresh_other_robot=2.0,
+                                 capacity_candidates=2),
+        registration=dataclasses.replace(slam_cfg.registration,
+                                         reg_maximum_iterations=12))
 
     @jax.jit
     def prefilter_batch(pts, masks):
@@ -71,151 +87,108 @@ def main():
         yaw = 2.0 * np.arctan2(p[6], p[3])
         return (float(p[0]), float(p[1]), float(p[2]), float(yaw), 0.0, 0.0)
 
-    def windows_for(R):
-        names = ["alpha", "bravo", "charlie", "delta"][:R]
-        if R == 2:
-            w = [(0, int(0.6 * N_FRAMES)),
-                 (int(0.45 * N_FRAMES), N_FRAMES)]
-        else:
-            span = N_FRAMES // 2
-            step = (N_FRAMES - span) // (R - 1)
-            w = [(i * step, min(i * step + span, N_FRAMES))
-                 for i in range(R)]
+    def windows_for(RR):
+        names = ["alpha", "bravo", "charlie", "delta"][:RR]
+        span = 240 // RR
+        stride = (bench.MR_FRAMES - span) // (RR - 1)
+        w = [(i * stride, i * stride + span) for i in range(RR - 1)]
+        w.append((bench.MR_FRAMES - span, bench.MR_FRAMES))
         return dict(zip(names, w))
 
-    windows = windows_for(R)
-    names = list(windows)
-
-    def run(record=False):
-        slams = {}
-        for name, (lo, _) in windows.items():
-            cfg_r = dataclasses.replace(
-                slam_cfg, own_name=name, multi_robot_names=tuple(names),
-                init_pose=init_pose_of(np.asarray(traj[lo])))
-            slams[name] = MrgSlam(cfg_r)
-        ticker = SharedTick([slams[n] for n in names])
+    def run(ph):
+        windows = windows_for(R)
+        names = list(windows)
+        B = {2: 24, 3: 16, 4: 12}[R]
+        group = SharedGraphSlam(
+            dataclasses.replace(slam_cfg, own_name=names[0],
+                                multi_robot_names=tuple(names)),
+            names,
+            {name: init_pose_of(np.asarray(traj[lo]))
+             for name, (lo, _) in windows.items()})
         carries = jax.tree.map(
             lambda *x: jnp.stack(x),
-            *[fused.init_carry(FILTERED) for _ in names])
-
-        def request_fn(peer_name, req):
-            with timer("exchange.handle_publish_graph"):
-                return slams[peer_name].handle_publish_graph(req)
+            *[fused.init_carry(bench.MR_FILTERED) for _ in names])
 
         def ingest(name, s, fpts, fmask, poses):
-            slam = slams[name]
             for i in range(poses.shape[0]):
-                with timer("ingest.process_scan"):
-                    bc = slam.process_scan((s + i) * 0.1, poses[i],
-                                           PointCloud(fpts[i], fmask[i]))
-                with timer("ingest.on_odom_broadcast"):
-                    for other in names:
-                        if other != name:
-                            slams[other].on_odom_broadcast(bc)
+                group.process_scan(name, (s + i) * 0.1, poses[i],
+                                   PointCloud(fpts[i], fmask[i]))
 
         n_local = max(hi - lo for lo, hi in windows.values())
-        for s in range(0, n_local, BLOCK):
-            spans = {n: (windows[n][0] + s,
-                         min(windows[n][0] + s + BLOCK, windows[n][1]))
-                     for n in names if s < windows[n][1] - windows[n][0]}
-            if (len(spans) == len(names)
-                    and all(b - a == BLOCK for a, b in spans.values())):
-                with timer("odometry.batched"):
-                    fpts, fmask = prefilter_batch(
-                        jnp.concatenate(
-                            [raw_d[a:b] for a, b in spans.values()]),
-                        jnp.concatenate(
-                            [rmask_d[a:b] for a, b in spans.values()]))
-                    fpts = fpts.reshape(R, BLOCK, *fpts.shape[1:])
-                    fmask = fmask.reshape(R, BLOCK, *fmask.shape[1:])
-                    st2 = jnp.broadcast_to(stamps[s:s + BLOCK], (R, BLOCK))
-                    carries, outs = fused.run_batch_multi(
-                        odo_cfg, carries, fpts, fmask, st2)
-                    all_poses = np.asarray(outs.pose)
+        for s in range(0, n_local, B):
+            spans = {n: (windows[n][0] + s, windows[n][0] + s + B)
+                     for n in names}
+            with ph("odometry.device"):
+                fpts, fmask = prefilter_batch(
+                    jnp.concatenate([raw_d[a:b] for a, b in spans.values()]),
+                    jnp.concatenate([rmask_d[a:b]
+                                     for a, b in spans.values()]))
+                fpts = fpts.reshape(R, B, *fpts.shape[1:])
+                fmask = fmask.reshape(R, B, *fmask.shape[1:])
+                st2 = jnp.broadcast_to(stamps[s:s + B], (R, B))
+                carries2, outs = fused.run_batch_multi(odo_cfg, carries,
+                                                       fpts, fmask, st2)
+                all_poses = np.asarray(outs.pose)  # the one fetch
+            carries = carries2
+            with ph("ingest.host"):
                 for r, name in enumerate(names):
                     ingest(name, s, fpts[r], fmask[r], all_poses[r])
-            else:
-                for r, name in enumerate(names):
-                    if name not in spans:
-                        continue
-                    a, b = spans[name]
-                    with timer("odometry.ragged"):
-                        fpts, fmask = prefilter_batch(raw_d[a:b],
-                                                      rmask_d[a:b])
-                        c_r = jax.tree.map(lambda x: x[r], carries)
-                        c_r, outs = fused.run_batch(odo_cfg, c_r, fpts,
-                                                    fmask,
-                                                    stamps[s:s + (b - a)])
-                        carries = jax.tree.map(lambda f, v: f.at[r].set(v),
-                                               carries, c_r)
-                        poses = np.asarray(outs.pose)
-                    ingest(name, s, fpts, fmask, poses)
-            now = (s + BLOCK) * 0.1
-            with timer("tick_all"):
-                stats = ticker.tick_all(now=now)
-            if record:
-                for n2, st in stats.items():
-                    if st is not None:
-                        T["tick.loop_closure"] += st.loop_closure_us / 1e6
-                        T["tick.optimize"] += st.optimization_us / 1e6
-            for name in names:
-                with timer("broadcast.slam_pose"):
-                    sp = slams[name].slam_pose_broadcast(now)
-                if sp is None:
-                    continue
-                for other in names:
-                    if other != name:
-                        with timer("broadcast.on_slam_pose"):
-                            slams[other].on_slam_pose_broadcast(
-                                sp, now=now, request_fn=request_fn)
-        with timer("tick_all"):
-            ticker.tick_all(now=n_local * 0.1)
-        return slams
+            with ph("tick.total"):
+                st = group.optimization_tick(now=(s + B) * 0.1)
+            if st is not None:
+                ph.t["tick.loop_closure"] += st.loop_closure_us / 1e6
+                ph.n["tick.loop_closure"] += 1
+                ph.t["tick.optimize"] += st.optimization_us / 1e6
+                ph.n["tick.optimize"] += 1
+        with ph("tick.total"):
+            st = group.optimization_tick(now=n_local * 0.1)
+        if st is not None:
+            ph.t["tick.loop_closure"] += st.loop_closure_us / 1e6
+            ph.t["tick.optimize"] += st.optimization_us / 1e6
+        return group, windows
 
-    # fine-grained tick instrumentation via wrappers
-    from mrg_slam_tpu.models.loop_detector import LoopDetector
-    from mrg_slam_tpu.models.pair_runner import PairRunner
-    from mrg_slam_tpu.models import coordinator as coord
-    from mrg_slam_tpu.graph import builder as gb
-    from mrg_slam_tpu.models.graph_database import GraphDatabase
-
-    def wrap(cls, name, key):
-        orig = getattr(cls, name)
-
-        def timed(*a, **kw):
-            with timer(key):
-                return orig(*a, **kw)
-        setattr(cls, name, timed)
-
-    wrap(MrgSlam, "_tick_begin", "tickd.begin(flushes)")
-    wrap(MrgSlam, "_tick_insert", "tickd.insert")
-    wrap(MrgSlam, "_tick_post", "tickd.post")
-    wrap(LoopDetector, "build_requests", "tickd.build_requests")
-    wrap(LoopDetector, "resolve", "tickd.resolve")
-    wrap(PairRunner, "run", "tickd.pair_run")
-    wrap(GraphDatabase, "flush_graph_queue", "tickd.flush_graph_queue")
-    orig_om = gb.optimize_many
-
-    def timed_om(graphs):
-        with timer("tickd.optimize_many"):
-            return orig_om(graphs)
-    gb.optimize_many = timed_om
-    coord.optimize_many = timed_om
-
-    t0 = time.perf_counter()
-    run()  # warmup
-    print(f"# warmup {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-
-    T.clear(); C.clear()
-    t0 = time.perf_counter()
-    run(record=True)
-    total = time.perf_counter() - t0
+    run(Phases())  # warmup/compiles
+    best = None
+    for _ in range(reps):
+        ph = Phases()
+        t0 = time.perf_counter()
+        group, windows = run(ph)
+        wall = time.perf_counter() - t0
+        if best is None or wall < best[0]:
+            best = (wall, ph, group, windows)
+    wall, ph, group, windows = best
     n_scans = sum(hi - lo for lo, hi in windows.values())
-    print(f"# total {total:.3f}s ({n_scans / total:.1f} scans/s aggregate)")
-    for k in sorted(T, key=lambda k: -T[k]):
-        print(f"  {k:35s} {T[k] * 1e3:9.1f} ms  x{C[k]}")
-    acc = sum(v for k, v in T.items() if not k.startswith("tick"))
-    print(f"  {'(accounted, non-tick)':35s} {acc * 1e3:9.1f} ms")
+    inter = 0
+    for e in group.db.edges:
+        if e.type != "loop":
+            continue
+        a = group.db.uuid_keyframe_map[e.from_uuid]
+        b = group.db.uuid_keyframe_map[e.to_uuid]
+        inter += a.robot_name != b.robot_name
+    other = wall - ph.t["odometry.device"] - ph.t["ingest.host"] \
+        - ph.t["tick.total"]
+    print(f"R={R}: {n_scans} scans in {wall:.2f}s "
+          f"({n_scans / wall:.1f} scans/s aggregate); phases: "
+          f"odometry.device {ph.t['odometry.device']:.2f}s "
+          f"({ph.n['odometry.device']} blocks), "
+          f"ingest.host {ph.t['ingest.host']:.2f}s, "
+          f"tick.total {ph.t['tick.total']:.2f}s "
+          f"(loop-closure {ph.t['tick.loop_closure']:.2f}s, "
+          f"optimize {ph.t['tick.optimize']:.2f}s, "
+          f"{ph.n['tick.optimize']} ticks), other {other:.2f}s; "
+          f"{len(group.db.keyframes) + len(group.db.new_keyframes)} kf, "
+          f"{inter} inter-robot loops", flush=True)
+    return dict(R=R, wall=wall, scans_per_s=n_scans / wall,
+                phases={k: round(v, 3) for k, v in ph.t.items()})
+
+
+def main():
+    import jax
+    Rs = [int(sys.argv[1])] if len(sys.argv) > 1 else [2, 3, 4]
+    print(f"# device: {jax.devices()[0]}", file=sys.stderr)
+    out = [run_profiled(R) for R in Rs]
+    import json
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
